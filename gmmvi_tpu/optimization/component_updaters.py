@@ -1,0 +1,346 @@
+"""Natural-gradient component updates: direct, iBLR, and KL trust-region.
+
+Updates every Gaussian component from the estimated negated expected Hessians
+and gradients, with per-component stepsizes
+(reference: src/gmmvi/optimization/gmmvi_modules/ng_based_component_updater.py).
+
+TPU-native design: the reference loops over components in Python and bails out
+per component; here every variant is a ``vmap``-ed pure function over the
+padded component axis, failures are success masks resolved with ``jnp.where``
+(keep old parameters), and the trust-region bracketing search is a fixed-trip
+``lax.while_loop`` that runs in lockstep across components.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from gmmvi_tpu.models.gmm import GmmState, replace_components
+from gmmvi_tpu.models.meta import MetaState
+
+_PREC = jax.lax.Precision.HIGHEST
+F32_MAX = jnp.finfo(jnp.float32).max
+
+
+class ComponentUpdateResult(NamedTuple):
+    model: GmmState
+    meta: MetaState
+
+
+def _finish_update(model, meta, new_means, new_chols, successes, etas=None):
+    """Shared post-update bookkeeping: l2-regularizer adaptation (halve on
+    success floored at the initial value, x10 capped at 1e-6 on failure),
+    update counters, replace parameters
+    (reference: ng_based_component_updater.py:135-141, 217-223, 513-524)."""
+    mask = model.mask
+    new_l2 = jnp.where(
+        successes,
+        jnp.maximum(0.5 * meta.l2_regularizers, meta.initial_regularizer),
+        jnp.minimum(1e-6, 10.0 * meta.l2_regularizers),
+    )
+    meta = meta.replace(
+        l2_regularizers=jnp.where(mask, new_l2, meta.l2_regularizers),
+        num_received_updates=meta.num_received_updates + mask.astype(jnp.float32),
+    )
+    if etas is not None:
+        meta = meta.replace(
+            last_etas=jnp.where(mask, etas, meta.last_etas)
+        )
+    model = replace_components(model, new_means, new_chols)
+    return ComponentUpdateResult(model, meta)
+
+
+def _old_canonical(model: GmmState):
+    """Per-component precision-space quantities from the cached inverse chols."""
+    if model.diagonal:
+        old_prec = jnp.square(model.inv_chols)             # [K, D]
+        old_lin = old_prec * model.means
+    else:
+        old_prec = jnp.einsum(
+            "kji,kjl->kil", model.inv_chols, model.inv_chols, precision=_PREC
+        )
+        old_lin = jnp.einsum("kij,kj->ki", old_prec, model.means, precision=_PREC)
+    return old_prec, old_lin
+
+
+# ---------------------------------------------------------------------------
+# Direct update (reference: ng_based_component_updater.py:83-141)
+# ---------------------------------------------------------------------------
+
+def direct_update(
+    model: GmmState, meta: MetaState,
+    hessians_neg: jnp.ndarray, grads_neg: jnp.ndarray, stepsizes: jnp.ndarray,
+    temperature: float = 1.0,
+) -> ComponentUpdateResult:
+    old_prec, old_lin = _old_canonical(model)
+    s = stepsizes
+    if model.diagonal:
+        delta_lin = hessians_neg * model.means - grads_neg
+        new_prec = old_prec + s[:, None] * hessians_neg
+        new_lin = old_lin + s[:, None] * delta_lin
+        new_mean = new_lin / new_prec
+        new_chol = jnp.sqrt(1.0 / new_prec)
+        success = jnp.logical_not(jnp.any(jnp.isnan(new_chol), axis=-1))
+    else:
+        delta_lin = (
+            jnp.einsum("kij,kj->ki", hessians_neg, model.means, precision=_PREC)
+            - grads_neg
+        )
+        new_prec = old_prec + s[:, None, None] * hessians_neg
+        new_lin = old_lin + s[:, None] * delta_lin
+        new_mean = jax.vmap(jnp.linalg.solve)(new_prec, new_lin)
+        new_cov = jax.vmap(jnp.linalg.inv)(new_prec)
+        new_chol = jax.vmap(jnp.linalg.cholesky)(new_cov)
+        success = jnp.logical_not(
+            jnp.any(jnp.isnan(new_chol), axis=(-2, -1))
+            | jnp.any(jnp.isnan(new_mean), axis=-1)
+        )
+
+    sel = success & model.mask
+    if model.diagonal:
+        new_mean = jnp.where(sel[:, None], new_mean, model.means)
+        new_chol = jnp.where(sel[:, None], new_chol, model.chols)
+    else:
+        new_mean = jnp.where(sel[:, None], new_mean, model.means)
+        new_chol = jnp.where(sel[:, None, None], new_chol, model.chols)
+    return _finish_update(model, meta, new_mean, new_chol, success)
+
+
+# ---------------------------------------------------------------------------
+# iBLR update (reference: ng_based_component_updater.py:144-223)
+# ---------------------------------------------------------------------------
+
+def iblr_update(
+    model: GmmState, meta: MetaState,
+    hessians_neg: jnp.ndarray, grads_neg: jnp.ndarray, stepsizes: jnp.ndarray,
+    temperature: float = 1.0,
+) -> ComponentUpdateResult:
+    """Improved Bayesian learning rule with curvature correction
+    eta/2 * H Sigma H; no mean update on a component's first update."""
+    old_prec, _ = _old_canonical(model)
+    s = stepsizes
+    first = meta.num_received_updates == 0
+    if model.diagonal:
+        cov = jnp.square(model.chols)
+        correction = 0.5 * s[:, None] * hessians_neg * cov * hessians_neg
+        new_prec = old_prec + s[:, None] * (hessians_neg + correction)
+        mean_step = s[:, None] * cov * (-grads_neg)
+        new_mean = jnp.where(first[:, None], model.means, model.means + mean_step)
+        new_cov = 1.0 / new_prec
+        new_chol = jnp.sqrt(new_cov)
+        success = jnp.logical_not(jnp.any(jnp.isnan(new_chol), axis=-1))
+        sel = success & model.mask
+        new_mean = jnp.where(sel[:, None], new_mean, model.means)
+        new_chol = jnp.where(sel[:, None], new_chol, model.chols)
+    else:
+        cov = jnp.einsum("kij,klj->kil", model.chols, model.chols, precision=_PREC)
+        hc = jnp.einsum("kij,kjl->kil", hessians_neg, cov, precision=_PREC)
+        correction = 0.5 * s[:, None, None] * jnp.einsum(
+            "kij,kjl->kil", hc, hessians_neg, precision=_PREC
+        )
+        new_prec = old_prec + s[:, None, None] * (hessians_neg + correction)
+        mean_step = s[:, None] * jnp.einsum(
+            "kij,kj->ki", cov, -grads_neg, precision=_PREC
+        )
+        new_mean = jnp.where(first[:, None], model.means, model.means + mean_step)
+        new_cov = jax.vmap(jnp.linalg.inv)(new_prec)
+        new_chol = jax.vmap(jnp.linalg.cholesky)(new_cov)
+        success = jnp.logical_not(jnp.any(jnp.isnan(new_chol), axis=(-2, -1)))
+        sel = success & model.mask
+        new_mean = jnp.where(sel[:, None], new_mean, model.means)
+        new_chol = jnp.where(sel[:, None, None], new_chol, model.chols)
+    return _finish_update(model, meta, new_mean, new_chol, success)
+
+
+# ---------------------------------------------------------------------------
+# KL trust-region update (reference: ng_based_component_updater.py:226-527)
+# ---------------------------------------------------------------------------
+
+def _tr_kl_full(eta, old_lin, old_prec, old_inv_chol, reward_lin, reward_quad,
+                kl_const, old_mean):
+    """KL(new || old) for the exponential-family interpolation at stepsize eta
+    (reference: ng_based_component_updater.py:299-333, full-covariance path).
+    Returns (kl, new_mean, inv_chol_of_precision_chol)."""
+    d = old_mean.shape[0]
+    new_lin = (eta * old_lin + reward_lin) / eta
+    new_prec = (eta * old_prec + reward_quad) / eta
+    chol_p = jnp.linalg.cholesky(new_prec)
+    bad = jnp.any(jnp.isnan(chol_p))
+    chol_p_safe = jnp.where(bad, jnp.eye(d, dtype=chol_p.dtype), chol_p)
+    new_mean = jax.scipy.linalg.cho_solve((chol_p_safe, True), new_lin)
+    new_logdet = -2.0 * jnp.sum(jnp.log(jnp.diag(chol_p_safe)))
+    inv_chol_p = jax.scipy.linalg.solve_triangular(
+        chol_p_safe, jnp.eye(d, dtype=chol_p.dtype), lower=True
+    )
+    trace_term = jnp.sum(
+        jnp.square(inv_chol_p @ old_inv_chol.T)
+    )
+    diff = old_mean - new_mean
+    kl = 0.5 * (
+        kl_const - new_logdet + trace_term
+        + jnp.sum(jnp.square(old_inv_chol @ diff))
+    )
+    kl = jnp.where(bad, F32_MAX, kl)
+    new_mean = jnp.where(bad, old_mean, new_mean)
+    inv_chol_p = jnp.where(bad, old_inv_chol, inv_chol_p)
+    return kl, new_mean, inv_chol_p
+
+
+def _tr_kl_diag(eta, old_lin, old_prec, old_inv_chol, reward_lin, reward_quad,
+                kl_const, old_mean):
+    """Diagonal variant with the numerically-stabler form
+    (reference: ng_based_component_updater.py:304-317)."""
+    d = old_mean.shape[0]
+    new_lin = (eta * old_lin + reward_lin) / eta
+    new_prec = (eta * old_prec + reward_quad) / eta
+    chol_prec = jnp.sqrt(new_prec)
+    new_mean = new_lin / new_prec
+    inv_chol_p = 1.0 / chol_prec
+    diff = old_mean - new_mean
+    kl = 0.5 * (
+        jnp.maximum(
+            0.0,
+            jnp.sum(jnp.log(new_prec / old_prec) + old_prec / new_prec) - d,
+        )
+        + jnp.sum(jnp.square(old_inv_chol * diff))
+    )
+    return kl, new_mean, inv_chol_p
+
+
+def _bracketing_search(kl_fn, kl_bound, lower0, upper0):
+    """Log-space bracketing search for the largest stepsize satisfying the KL
+    bound (reference: ng_based_component_updater.py:335-429).  Up to 1000
+    iterations; stops when the bracket width (in eta space) is < 0.1 or
+    |KL - bound| < 0.1 * bound (then lower = upper = eta)."""
+
+    def cond(carry):
+        _, _, _, _, done, it = carry
+        return jnp.logical_and(jnp.logical_not(done), it < 1000)
+
+    def body(carry):
+        lower, upper, eta, upper_ok, done, it = carry
+        diff = jnp.minimum(
+            jnp.exp(upper) - jnp.exp(eta), jnp.exp(eta) - jnp.exp(lower)
+        )
+        stop_width = diff < 1e-1
+
+        kl = kl_fn(jnp.exp(eta))[0]
+        good = jnp.abs(kl_bound - kl) < 1e-1 * kl_bound
+
+        # reference order: width-stop checked before evaluating KL
+        new_lower = jnp.where(
+            stop_width, lower, jnp.where(good, upper, jnp.where(kl_bound > kl, lower, eta))
+        )
+        new_upper = jnp.where(
+            stop_width, upper, jnp.where(good, upper, jnp.where(kl_bound > kl, eta, upper))
+        )
+        # "found good eta" sets lower = upper = eta
+        new_lower = jnp.where(jnp.logical_and(~stop_width, good), eta, new_lower)
+        new_upper = jnp.where(jnp.logical_and(~stop_width, good), eta, new_upper)
+        new_upper_ok = jnp.where(
+            jnp.logical_and(~stop_width, ~good),
+            jnp.logical_or(upper_ok, kl_bound > kl),
+            upper_ok,
+        )
+        new_eta = 0.5 * (new_upper + new_lower)
+        new_done = jnp.logical_or(stop_width, good)
+        return new_lower, new_upper, new_eta, new_upper_ok, new_done, it + 1
+
+    eta0 = 0.5 * (lower0 + upper0)
+    lower, upper, _, upper_ok, _, _ = jax.lax.while_loop(
+        cond, body, (lower0, upper0, eta0, False, False, 0)
+    )
+    # if the search didn't converge but the upper bound satisfies the
+    # constraint, use it (ng_based_component_updater.py:421-424)
+    lower = jnp.where(upper_ok, upper, lower)
+    return jnp.exp(lower), jnp.exp(upper)
+
+
+def _tr_update_one(old_mean, old_chol, old_inv_chol, last_eta, eps, hneg, gneg,
+                   temperature, diagonal):
+    """Trust-region update for one component
+    (reference: ng_based_component_updater.py:439-511)."""
+    d = old_mean.shape[0]
+    reward_quad = hneg
+    if diagonal:
+        reward_lin = reward_quad * old_mean - gneg
+        old_logdet = 2.0 * jnp.sum(jnp.log(old_chol))
+        old_prec = jnp.square(old_inv_chol)
+        old_lin = old_prec * old_mean
+        kl_core = _tr_kl_diag
+    else:
+        reward_lin = (
+            jnp.einsum("ij,j->i", reward_quad, old_mean, precision=_PREC) - gneg
+        )
+        old_logdet = 2.0 * jnp.sum(jnp.log(jnp.diag(old_chol)))
+        old_prec = jnp.einsum("ji,jl->il", old_inv_chol, old_inv_chol,
+                              precision=_PREC)
+        old_lin = jnp.einsum("ij,j->i", old_prec, old_mean, precision=_PREC)
+        kl_core = _tr_kl_full
+    kl_const = old_logdet - d
+
+    kl_fn = partial(
+        kl_core,
+        old_lin=old_lin, old_prec=old_prec, old_inv_chol=old_inv_chol,
+        reward_lin=reward_lin, reward_quad=reward_quad, kl_const=kl_const,
+        old_mean=old_mean,
+    )
+
+    # warm-started log-space bracket (ng_based_component_updater.py:462-471)
+    no_warm = last_eta < 0
+    lower0 = jnp.where(no_warm, -20.0, jnp.maximum(0.0, jnp.log(jnp.abs(last_eta) + 1e-30) - 3.0))
+    upper0 = jnp.where(no_warm, 80.0, jnp.log(jnp.abs(last_eta) + 1e-30) + 3.0)
+
+    exp_lower, exp_upper = _bracketing_search(lambda e: kl_fn(e), eps, lower0, upper0)
+    eta = jnp.maximum(exp_lower, temperature)  # (reference line 476)
+    success = exp_lower == exp_upper
+
+    kl, new_mean, inv_chol_p = kl_fn(eta)
+    if diagonal:
+        new_cov = jnp.square(inv_chol_p)
+        new_chol = jnp.sqrt(new_cov)
+        chol_ok = jnp.logical_not(jnp.any(jnp.isnan(new_chol)))
+    else:
+        new_cov = jnp.einsum("ji,jl->il", inv_chol_p, inv_chol_p, precision=_PREC)
+        new_chol = jnp.linalg.cholesky(new_cov)
+        chol_ok = jnp.logical_not(jnp.any(jnp.isnan(new_chol)))
+    success = success & (kl < F32_MAX) & chol_ok
+
+    new_mean = jnp.where(success, new_mean, old_mean)
+    new_chol = jnp.where(success, new_chol, old_chol)
+    eta_out = jnp.where(success, eta, -1.0)
+    return new_mean, new_chol, success, eta_out
+
+
+def trust_region_update(
+    model: GmmState, meta: MetaState,
+    hessians_neg: jnp.ndarray, grads_neg: jnp.ndarray, stepsizes: jnp.ndarray,
+    temperature: float = 1.0,
+) -> ComponentUpdateResult:
+    """KL-constrained natural gradient step for every component; the stepsize
+    is the trust-region bound epsilon (reference: ng_based_component_updater.py:431-524)."""
+    upd = jax.vmap(
+        partial(_tr_update_one, temperature=temperature, diagonal=model.diagonal)
+    )
+    new_means, new_chols, successes, etas = upd(
+        model.means, model.chols, model.inv_chols, meta.last_etas, stepsizes,
+        hessians_neg, grads_neg,
+    )
+    sel = successes & model.mask
+    if model.diagonal:
+        new_means = jnp.where(sel[:, None], new_means, model.means)
+        new_chols = jnp.where(sel[:, None], new_chols, model.chols)
+    else:
+        new_means = jnp.where(sel[:, None], new_means, model.means)
+        new_chols = jnp.where(sel[:, None, None], new_chols, model.chols)
+    return _finish_update(model, meta, new_means, new_chols, successes, etas=etas)
+
+
+UPDATERS = {
+    "direct": direct_update,
+    "iBLR": iblr_update,
+    "trust-region": trust_region_update,
+}

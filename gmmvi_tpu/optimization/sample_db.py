@@ -1,0 +1,320 @@
+"""Statically-shaped sample database.
+
+TPU-native replacement for the reference's dynamically growing ``SampleDB``
+(reference: src/gmmvi/optimization/sample_db.py).  The reference stores every
+sample (with decimation-on-overflow) plus, for each sample, the parameters of
+the Gaussian that generated it; the "background" importance-sampling density of
+a query window is a count-weighted mixture over the distinct generating
+Gaussians in that window (reference: sample_db.py:164-228).
+
+Here the same contract is provided with three fixed-capacity structures:
+
+* a **sample ring** ``[S, ...]`` holding the newest samples, their target
+  log-densities/gradients and a reference to their generating distribution;
+* a **distribution ring** ``[R, Kmax, ...]`` holding per-iteration snapshots of
+  the mixture's component parameters (with cached inverse Cholesky factors so
+  background evaluation is batched matmul on the MXU);
+* a **reservoir** ``[C, ...]`` of (sample, target log-density) pairs sampled
+  uniformly over the whole run, which serves the component-adaptation add
+  heuristic (the reference serves it via ``get_random_sample`` over the full
+  decimated database, sample_db.py:137-152 — a reservoir is the bounded-memory
+  equivalent of that decimation scheme).
+
+Samples whose generating distribution has aged out of the distribution ring
+simply drop out of the reuse window (validity masking); this bounds memory
+where the reference grows without bound.
+"""
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from gmmvi_tpu.models.gmm import GmmState, LOG_2PI
+from gmmvi_tpu.ops.stable import masked_logsumexp, NEG_INF
+
+_PREC = jax.lax.Precision.HIGHEST
+
+
+@struct.dataclass
+class SampleDbState:
+    # sample ring
+    samples: jnp.ndarray        # [S, D]
+    target_lnpdfs: jnp.ndarray  # [S]
+    target_grads: jnp.ndarray   # [S, D]
+    sample_iter: jnp.ndarray    # [S] int32: iteration at which sample was added
+    sample_comp: jnp.ndarray    # [S] int32: generating component slot
+    write_pos: jnp.ndarray      # int32: total valid samples ever written
+    num_samples_written: jnp.ndarray  # int32: feval counter (sample_db.py:113)
+
+    # distribution ring (per-iteration component snapshots)
+    dist_means: jnp.ndarray      # [R, Kmax, D]
+    dist_chols: jnp.ndarray      # [R, Kmax, D, D] or [R, Kmax, D]
+    dist_inv_chols: jnp.ndarray  # same shape as dist_chols
+    dist_block_iter: jnp.ndarray  # [R] int32: iteration stored in each row (-1 empty)
+
+    # reservoir for add-heuristic candidates
+    res_samples: jnp.ndarray    # [C, D]
+    res_lnpdfs: jnp.ndarray     # [C]
+    res_count: jnp.ndarray      # int32: total items ever offered
+
+    diagonal: bool = struct.field(pytree_node=False, default=False)
+    keep_samples: bool = struct.field(pytree_node=False, default=True)
+
+    @property
+    def capacity(self) -> int:
+        return self.samples.shape[0]
+
+    @property
+    def num_dimensions(self) -> int:
+        return self.samples.shape[1]
+
+    @property
+    def ring_iters(self) -> int:
+        return self.dist_means.shape[0]
+
+    @property
+    def max_components(self) -> int:
+        return self.dist_means.shape[1]
+
+    @property
+    def reservoir_capacity(self) -> int:
+        return self.res_samples.shape[0]
+
+
+def create_sample_db(
+    dim: int,
+    max_components: int,
+    capacity: int,
+    dist_ring_iters: int,
+    reservoir_capacity: int,
+    diagonal: bool = False,
+    keep_samples: bool = True,
+    dtype=jnp.float32,
+) -> SampleDbState:
+    s, r, kmax, c = capacity, dist_ring_iters, max_components, reservoir_capacity
+    if diagonal:
+        chol_shape = (r, kmax, dim)
+    else:
+        chol_shape = (r, kmax, dim, dim)
+    return SampleDbState(
+        samples=jnp.zeros((s, dim), dtype),
+        target_lnpdfs=jnp.zeros((s,), dtype),
+        target_grads=jnp.zeros((s, dim), dtype),
+        sample_iter=jnp.full((s,), -1, jnp.int32),
+        sample_comp=jnp.zeros((s,), jnp.int32),
+        write_pos=jnp.asarray(0, jnp.int32),
+        num_samples_written=jnp.asarray(0, jnp.int32),
+        dist_means=jnp.zeros((r, kmax, dim), dtype),
+        dist_chols=jnp.ones(chol_shape, dtype) if diagonal
+        else jnp.tile(jnp.eye(dim, dtype=dtype)[None, None], (r, kmax, 1, 1)),
+        dist_inv_chols=jnp.ones(chol_shape, dtype) if diagonal
+        else jnp.tile(jnp.eye(dim, dtype=dtype)[None, None], (r, kmax, 1, 1)),
+        dist_block_iter=jnp.full((r,), -1, jnp.int32),
+        res_samples=jnp.zeros((c, dim), dtype),
+        res_lnpdfs=jnp.full((c,), NEG_INF, dtype),
+        res_count=jnp.asarray(0, jnp.int32),
+        diagonal=diagonal,
+        keep_samples=keep_samples,
+    )
+
+
+def add_samples(
+    db: SampleDbState,
+    iteration: jnp.ndarray,
+    model: GmmState,
+    samples: jnp.ndarray,       # [B, D] flat candidate batch
+    valid: jnp.ndarray,         # [B] bool
+    mapping: jnp.ndarray,       # [B] int32 generating component
+    target_lnpdfs: jnp.ndarray,  # [B]
+    target_grads: jnp.ndarray,  # [B, D]
+    key: jnp.ndarray,
+) -> SampleDbState:
+    """Append the valid subset of a statically-shaped batch.
+
+    Mirrors reference sample_db.py:81-135: stores samples + metadata and the
+    current component parameters as the generating distributions.  Compaction
+    of the valid entries is a prefix-sum scatter; invalid entries scatter
+    out of bounds (dropped).
+    """
+    s = db.capacity
+    b = samples.shape[0]
+    validf = valid.astype(jnp.int32)
+    n_valid = jnp.sum(validf)
+    # compact positions for valid entries
+    offsets = jnp.cumsum(validf) - 1
+    pos = db.write_pos + offsets
+    ring_idx = jnp.where(valid, pos % s, s)  # s = out-of-bounds -> dropped
+
+    new_db = db.replace(
+        samples=db.samples.at[ring_idx].set(samples, mode="drop"),
+        target_lnpdfs=db.target_lnpdfs.at[ring_idx].set(target_lnpdfs, mode="drop"),
+        target_grads=db.target_grads.at[ring_idx].set(target_grads, mode="drop"),
+        sample_iter=db.sample_iter.at[ring_idx].set(
+            jnp.full((b,), iteration, jnp.int32), mode="drop"
+        ),
+        sample_comp=db.sample_comp.at[ring_idx].set(
+            mapping.astype(jnp.int32), mode="drop"
+        ),
+        write_pos=db.write_pos + n_valid,
+        num_samples_written=db.num_samples_written + n_valid,
+    )
+
+    # distribution ring: snapshot current component parameters
+    row = iteration % db.ring_iters
+    new_db = new_db.replace(
+        dist_means=new_db.dist_means.at[row].set(model.means),
+        dist_chols=new_db.dist_chols.at[row].set(model.chols),
+        dist_inv_chols=new_db.dist_inv_chols.at[row].set(model.inv_chols),
+        dist_block_iter=new_db.dist_block_iter.at[row].set(iteration),
+    )
+
+    # reservoir update (uniform over history, batched random replacement)
+    c = db.reservoir_capacity
+    item_no = db.res_count + jnp.cumsum(validf)  # 1-based count at each item
+    slot_key, acc_key = jax.random.split(key)
+    rand_slots = jax.random.randint(slot_key, (b,), 0, c)
+    fill_slots = jnp.clip(item_no - 1, 0, c - 1)
+    slots = jnp.where(item_no <= c, fill_slots, rand_slots)
+    accept_p = jnp.minimum(1.0, c / jnp.maximum(item_no.astype(jnp.float32), 1.0))
+    accept = jnp.logical_and(valid, jax.random.uniform(acc_key, (b,)) < accept_p)
+    res_idx = jnp.where(accept, slots, c)
+    new_db = new_db.replace(
+        res_samples=new_db.res_samples.at[res_idx].set(samples, mode="drop"),
+        res_lnpdfs=new_db.res_lnpdfs.at[res_idx].set(target_lnpdfs, mode="drop"),
+        res_count=db.res_count + n_valid,
+    )
+    return new_db
+
+
+@struct.dataclass
+class SampleWindow:
+    """A statically-shaped view of the newest samples plus background densities.
+
+    Fields are ``[W]``-shaped with a validity mask; matches the tuple returned
+    by reference sample_db.py:194-228 (log_pdfs, samples, mapping, lnpdfs,
+    grads), with explicit masking instead of dynamic shapes.
+    """
+
+    samples: jnp.ndarray        # [W, D]
+    mapping: jnp.ndarray        # [W] generating component slot
+    target_lnpdfs: jnp.ndarray  # [W]
+    target_grads: jnp.ndarray   # [W, D]
+    background_log_pdfs: jnp.ndarray  # [W]
+    valid: jnp.ndarray          # [W] bool
+    num_valid: jnp.ndarray      # scalar int32
+
+
+def _dist_log_pdfs(db: SampleDbState, means, inv_chols, log_dets, x):
+    """log N(x; mu_u, Sigma_u) for U dists x W samples -> [U, W].
+
+    Uses cached inverse Cholesky factors: batched matmul (MXU), the TPU
+    equivalent of reference sample_db.py:154-162.
+    """
+    d = db.num_dimensions
+    diffs = x[None, :, :] - means[:, None, :]  # [U, W, D]
+    if db.diagonal:
+        y = inv_chols[:, None, :] * diffs
+    else:
+        y = jnp.einsum("uij,uwj->uwi", inv_chols, diffs, precision=_PREC)
+    maha = -0.5 * jnp.sum(jnp.square(y), axis=-1)
+    return maha - log_dets[:, None] - 0.5 * d * LOG_2PI
+
+
+def get_newest_samples(
+    db: SampleDbState,
+    window: int,
+    n_requested: jnp.ndarray,
+    max_background_dists: int,
+) -> SampleWindow:
+    """Return (up to) the ``n_requested`` newest valid samples within a static
+    ``window``-sized frame, with count-weighted background mixture densities.
+
+    ``max_background_dists`` bounds the number of distinct generating
+    distributions evaluated; the least-used dists beyond the bound have their
+    samples masked out of the window.  (reference: sample_db.py:194-228)
+    """
+    s, w = db.capacity, window
+    kmax, r = db.max_components, db.ring_iters
+
+    # newest-window gather (oldest first, like the reference's tail slice)
+    pos = db.write_pos - w + jnp.arange(w)
+    in_range = jnp.logical_and(pos >= 0, pos >= db.write_pos - n_requested)
+    in_range = jnp.logical_and(in_range, pos >= db.write_pos - s)
+    idx = pos % s
+    samples = db.samples[idx]
+    lnpdfs = db.target_lnpdfs[idx]
+    grads = db.target_grads[idx]
+    comp = db.sample_comp[idx]
+    it = db.sample_iter[idx]
+
+    # distribution freshness: the ring row for this sample's iteration must
+    # still hold that iteration
+    row = it % r
+    fresh = jnp.logical_and(it >= 0, db.dist_block_iter[row] == it)
+    valid = jnp.logical_and(in_range, fresh)
+
+    # count-weighted distinct dists in the window (sample_db.py:221-227)
+    dist_key = row * kmax + comp
+    counts = jnp.zeros((r * kmax,), jnp.float32).at[
+        jnp.where(valid, dist_key, r * kmax)
+    ].add(1.0, mode="drop")
+
+    u = max_background_dists
+    top_counts, top_keys = jax.lax.top_k(counts, u)
+    sel_mask = top_counts > 0
+    # membership of each sample's dist in the selected set
+    sel_table = jnp.zeros((r * kmax + 1,), jnp.bool_).at[
+        jnp.where(sel_mask, top_keys, r * kmax)
+    ].set(True, mode="drop")
+    valid = jnp.logical_and(valid, sel_table[jnp.minimum(dist_key, r * kmax)])
+
+    total = jnp.sum(jnp.where(sel_mask, top_counts, 0.0))
+    log_weights = jnp.where(
+        sel_mask, jnp.log(top_counts) - jnp.log(jnp.maximum(total, 1.0)), NEG_INF
+    )
+
+    top_rows = top_keys // kmax
+    top_comps = top_keys % kmax
+    means_u = db.dist_means[top_rows, top_comps]
+    inv_u = db.dist_inv_chols[top_rows, top_comps]
+    if db.diagonal:
+        log_dets_u = jnp.sum(jnp.log(db.dist_chols[top_rows, top_comps]), axis=-1)
+    else:
+        log_dets_u = jnp.sum(
+            jnp.log(jnp.diagonal(db.dist_chols[top_rows, top_comps],
+                                 axis1=-2, axis2=-1)),
+            axis=-1,
+        )
+
+    log_pdfs = _dist_log_pdfs(db, means_u, inv_u, log_dets_u, samples)  # [U, W]
+    bg = masked_logsumexp(
+        log_pdfs + log_weights[:, None], mask=sel_mask[:, None], axis=0
+    )
+
+    return SampleWindow(
+        samples=samples,
+        mapping=comp,
+        target_lnpdfs=lnpdfs,
+        target_grads=grads,
+        background_log_pdfs=bg,
+        valid=valid,
+        num_valid=jnp.sum(valid).astype(jnp.int32),
+    )
+
+
+def get_random_samples(
+    db: SampleDbState, key: jnp.ndarray, n: int
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """``n`` (sample, target log-density) pairs uniform over history, from the
+    reservoir; returns (samples, lnpdfs, valid_mask).
+    (reference: sample_db.py:137-152)"""
+    c = db.reservoir_capacity
+    filled = jnp.minimum(db.res_count, c)
+    idx = jax.random.randint(key, (n,), 0, jnp.maximum(filled, 1))
+    valid = jnp.arange(n) < filled  # degenerate only before any sample exists
+    valid = jnp.logical_and(valid | (filled >= n), filled > 0)
+    return db.res_samples[idx], db.res_lnpdfs[idx], valid
