@@ -1,0 +1,177 @@
+"""Experiment setup: target registry and initial-mixture construction.
+
+(reference: src/gmmvi/experiments/setup_experiment.py)
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from gmmvi_tpu.experiments.targets.lnpdf import LNPDF
+from gmmvi_tpu.models import meta as meta_ops
+from gmmvi_tpu.models.gmm import GmmState, create_gmm_state
+from gmmvi_tpu.models.meta import MetaState
+
+
+def get_target_lnpdf(experiment: str, environment_config: dict, seed: int) -> LNPDF:
+    """Environment-name registry (reference: setup_experiment.py:46-86)."""
+    environment_config = dict(environment_config or {})
+    environment_config.pop("seed", None)
+    if experiment == "breastCancer":
+        from gmmvi_tpu.experiments.targets.logistic_regression import make_breast_cancer
+        return make_breast_cancer()
+    if experiment == "breastCancer_mb":
+        from gmmvi_tpu.experiments.targets.logistic_regression import make_breast_cancer_mb
+        return make_breast_cancer_mb(**environment_config)
+    if experiment == "GermanCredit":
+        from gmmvi_tpu.experiments.targets.logistic_regression import make_german_credit
+        return make_german_credit()
+    if experiment == "GermanCredit_mb":
+        from gmmvi_tpu.experiments.targets.logistic_regression import make_german_credit_mb
+        return make_german_credit_mb(**environment_config)
+    if experiment == "PlanarRobot4":
+        from gmmvi_tpu.experiments.targets.planar_robot import make_four_goal
+        return make_four_goal()
+    if experiment == "PlanarRobot1":
+        from gmmvi_tpu.experiments.targets.planar_robot import make_single_goal
+        return make_single_goal()
+    if experiment == "STM":
+        from gmmvi_tpu.experiments.targets.student_t_mixture import make_target
+        return make_target(**environment_config)
+    if experiment.startswith("DIAGGMM"):
+        from gmmvi_tpu.experiments.targets.gmm import make_diag_target
+        return make_diag_target(**environment_config)
+    if experiment.startswith("GMM"):
+        from gmmvi_tpu.experiments.targets.gmm import make_target
+        return make_target(**environment_config)
+    if experiment.startswith("MNIST"):
+        from gmmvi_tpu.experiments.targets.bnn import make_MNIST_target
+        return make_MNIST_target(**environment_config)
+    if experiment.startswith("WINE"):
+        from gmmvi_tpu.experiments.targets.bnn import make_WINE_target
+        return make_WINE_target(dataset_seed=seed, **environment_config)
+    if experiment.startswith("Talos"):
+        from gmmvi_tpu.experiments.targets.talos_ik import make_talos_target
+        return make_talos_target(**environment_config)
+    raise ValueError(f"unknown experiment name: {experiment}")
+
+
+def construct_initial_mixture(
+    num_dimensions: int,
+    num_initial_components: int,
+    prior_mean,
+    prior_scale,
+    use_diagonal_covs: bool,
+    initial_cov=None,
+    max_components: Optional[int] = None,
+    rng: Optional[np.random.RandomState] = None,
+) -> GmmState:
+    """K components with means ~ N(prior_mean, prior_scale^2) (a single
+    component is placed at the prior mean) and the given isotropic/diagonal
+    initial covariance (reference: setup_experiment.py:88-160).
+
+    ``max_components`` sets the static padding capacity of the state.
+    """
+    if rng is None:
+        rng = np.random.RandomState()
+    prior_mean = np.asarray(prior_mean, np.float64) * np.ones(num_dimensions)
+    prior_scale = np.asarray(prior_scale, np.float64) * np.ones(num_dimensions)
+    prior_var = prior_scale**2
+
+    k = num_initial_components
+    weights = np.ones(k, np.float32) / k
+    means = np.zeros((k, num_dimensions), np.float32)
+    for i in range(k):
+        if k == 1:
+            means[i] = prior_mean
+        else:
+            means[i] = prior_mean + np.sqrt(prior_var) * rng.standard_normal(
+                num_dimensions
+            )
+
+    if use_diagonal_covs:
+        cov_diag = (
+            prior_var if initial_cov is None
+            else np.asarray(initial_cov, np.float64) * np.ones(num_dimensions)
+        )
+        covs = np.tile(cov_diag[None, :], (k, 1)).astype(np.float32)
+    else:
+        if initial_cov is None:
+            cov = np.diag(prior_var)
+        else:
+            ic = np.asarray(initial_cov, np.float64)
+            cov = np.diag(ic * np.ones(num_dimensions)) if ic.ndim <= 1 \
+                else ic
+        covs = np.tile(cov[None, :, :], (k, 1, 1)).astype(np.float32)
+
+    return create_gmm_state(
+        weights, means, covs,
+        max_components=max_components or k,
+        diagonal=use_diagonal_covs,
+    )
+
+
+def default_max_components(config: dict, num_initial: int) -> int:
+    """Static padding capacity: explicit tpu.max_components override, else
+    enough headroom for VIPS growth, rounded up to a multiple of 8."""
+    tpu_cfg = config.get("tpu", {}) or {}
+    if "max_components" in tpu_cfg:
+        return int(tpu_cfg["max_components"])
+    if config.get("num_component_adapter_type") == "adaptive":
+        cap = int(config["num_component_adapter_config"]["max_components"])
+        guess = min(cap, max(2 * num_initial, num_initial + 64))
+    else:
+        guess = num_initial
+    return ((guess + 7) // 8) * 8
+
+
+def init_experiment(config: dict) -> Tuple[LNPDF, GmmState, MetaState]:
+    """Build target + initial model + meta-state from a config dict
+    (reference: setup_experiment.py:10-43)."""
+    seed = int(config.get("seed", config.get("start_seed", 0)))
+    if "environment_config" in config and "environment_name" in config \
+            and "target_fn" not in config:
+        target = get_target_lnpdf(
+            config["environment_name"], config["environment_config"], seed
+        )
+    elif "target_fn" in config:
+        target = config["target_fn"]
+    else:
+        raise ValueError("No target distribution was specified")
+
+    mi = config["model_initialization"]
+    num_initial = int(mi["num_initial_components"])
+    model = construct_initial_mixture(
+        num_dimensions=target.get_num_dimensions(),
+        num_initial_components=num_initial,
+        prior_mean=mi["prior_mean"],
+        prior_scale=mi["prior_scale"],
+        use_diagonal_covs=bool(mi["use_diagonal_covs"]),
+        initial_cov=mi.get("initial_cov"),
+        max_components=default_max_components(config, num_initial),
+        rng=np.random.RandomState(seed),
+    )
+
+    initial_l2 = config.get("ng_estimator_config", {}).get(
+        "initial_l2_regularizer", 1e-12
+    )
+    meta = meta_ops.create_meta_state(
+        model,
+        initial_stepsize=config["component_stepsize_adapter_config"][
+            "initial_stepsize"
+        ],
+        initial_regularizer=initial_l2,
+        # the reference runner allocates a 10000-long history
+        # (setup_experiment.py:40-41) but nothing reads beyond the delete
+        # heuristic's ~1.7*del_iters window — default to the minimal length
+        max_reward_history_length=int(
+            (config.get("tpu", {}) or {}).get(
+                "max_reward_history_length",
+                meta_ops.history_length_from_config(config),
+            )
+        ),
+    )
+    return target, model, meta

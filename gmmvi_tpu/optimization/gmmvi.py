@@ -1,0 +1,473 @@
+"""The GMMVI optimizer: one compiled training iteration over a pure state.
+
+(reference: src/gmmvi/optimization/gmmvi.py)
+
+The reference orchestrates stateful module objects; here the entire learner
+state is a single pytree (:class:`TrainState`) and one training iteration is a
+pure function ``state -> state`` assembled from the module functions chosen by
+the configuration.  For jit-safe targets the whole iteration (including target
+evaluation) is one XLA program; for host targets the iteration is split into a
+compiled propose phase, eager target evaluation, and a compiled update phase —
+mirroring the reference's two-path graph compilation (gmmvi.py:89-103).
+
+Data parallelism: when a ``jax.sharding.Mesh`` is supplied, the per-iteration
+sample batch is sharded over the mesh's ``"data"`` axis with sharding
+constraints; XLA then partitions the target evaluation and density einsums and
+inserts psum collectives for the per-component sufficient-statistic reductions
+(ICI-resident, since all cross-device traffic is [K, D] / [K, D, D] moments).
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Callable, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from gmmvi_tpu.experiments.targets.lnpdf import LNPDF
+from gmmvi_tpu.models import gmm as gmm_ops
+from gmmvi_tpu.models import meta as meta_ops
+from gmmvi_tpu.models.gmm import GmmState
+from gmmvi_tpu.models.meta import MetaState
+from gmmvi_tpu.optimization import component_adaptation as adapt_ops
+from gmmvi_tpu.optimization import component_updaters as upd_ops
+from gmmvi_tpu.optimization import ng_estimators as est_ops
+from gmmvi_tpu.optimization import sample_db as db_ops
+from gmmvi_tpu.optimization import sample_selectors as sel_ops
+from gmmvi_tpu.optimization import stepsize_adapters as step_ops
+from gmmvi_tpu.optimization import weight_updaters as w_ops
+from gmmvi_tpu.optimization.component_adaptation import AdaptationState, VipsConfig
+from gmmvi_tpu.optimization.sample_db import SampleDbState
+from gmmvi_tpu.optimization.sample_selectors import SelectorConfig
+from gmmvi_tpu.optimization.stepsize_adapters import WeightStepsizeState
+
+
+@struct.dataclass
+class TrainState:
+    """The complete learner state: everything a training iteration reads or
+    writes, checkpointable as one pytree."""
+
+    model: GmmState
+    meta: MetaState
+    db: SampleDbState
+    wstep: WeightStepsizeState
+    adapt: AdaptationState
+    num_updates: jnp.ndarray  # int32; reference gmmvi.py:87
+    key: jnp.ndarray
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class GMMVI:
+    """Host-side facade assembling the compiled training step from a config.
+
+    (reference: gmmvi.py:16-174 — same build_from_config wiring, same module
+    slots, but modules are pure functions and state is explicit.)
+    """
+
+    def __init__(
+        self,
+        target_distribution: LNPDF,
+        initial_state: TrainState,
+        temperature: float,
+        selector_cfg: SelectorConfig,
+        estimator_type: str,
+        estimator_cfg: dict,
+        updater_type: str,
+        component_stepsize_type: str,
+        component_stepsize_cfg: dict,
+        weight_updater_type: str,
+        weight_updater_cfg: dict,
+        weight_stepsize_type: str,
+        weight_stepsize_cfg: dict,
+        vips_cfg: Optional[VipsConfig] = None,
+        prior_mean: Optional[np.ndarray] = None,
+        prior_cov_diag: Optional[np.ndarray] = None,
+        mesh: Optional[jax.sharding.Mesh] = None,
+    ):
+        self.target_distribution = target_distribution
+        self.state = initial_state
+        self.temperature = float(temperature)
+        self.selector_cfg = selector_cfg
+        self.estimator_type = estimator_type
+        self.estimator_cfg = dict(estimator_cfg)
+        self.updater_type = updater_type
+        self.component_stepsize_type = component_stepsize_type
+        self.component_stepsize_cfg = dict(component_stepsize_cfg)
+        self.weight_updater_type = weight_updater_type
+        self.weight_updater_cfg = dict(weight_updater_cfg)
+        self.weight_stepsize_type = weight_stepsize_type
+        self.weight_stepsize_cfg = dict(weight_stepsize_cfg)
+        self.vips_cfg = vips_cfg
+        self.prior_mean = None if prior_mean is None else jnp.asarray(prior_mean)
+        self.prior_cov_diag = (
+            None if prior_cov_diag is None else jnp.asarray(prior_cov_diag)
+        )
+        self.mesh = mesh
+
+        self.requires_gradients = estimator_type == "Stein"
+
+        if self.target_distribution.safe_for_jit:
+            self._jitted_step = jax.jit(self._full_step)
+        else:
+            self._jitted_propose = jax.jit(self._propose_phase)
+            self._jitted_update = jax.jit(self._update_phase)
+
+    # ------------------------------------------------------------------
+    # Target evaluation
+    # ------------------------------------------------------------------
+    def _eval_target(self, samples: jnp.ndarray):
+        """(lnpdfs, grads); grads are zeros when the estimator does not need
+        them (the reference always differentiates, sample_selector.py:69-78 —
+        skipping for MORE is a pure compute saving, numerics-identical)."""
+        target = self.target_distribution
+        if self.requires_gradients:
+            if target.use_log_density_and_grad:
+                lnpdfs, grads = target.log_density_and_grad(samples)
+            else:
+                lnpdfs, grads = jax.vmap(
+                    jax.value_and_grad(lambda s: target.log_density(s[None])[0])
+                )(samples)
+        else:
+            lnpdfs = target.log_density(samples)
+            grads = jnp.zeros_like(samples)
+        return lnpdfs, grads
+
+    # ------------------------------------------------------------------
+    # Phases
+    # ------------------------------------------------------------------
+    def _shard_batch(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.mesh is None:
+            return x
+        spec = jax.sharding.PartitionSpec("data", *([None] * (x.ndim - 1)))
+        return jax.lax.with_sharding_constraint(
+            x, jax.sharding.NamedSharding(self.mesh, spec)
+        )
+
+    def _propose_phase(self, state: TrainState):
+        key, k_sel = jax.random.split(state.key)
+        prop = sel_ops.propose(state.model, state.db, self.selector_cfg, k_sel)
+        prop = prop._replace(samples=self._shard_batch(prop.samples))
+        return state.replace(key=key), prop
+
+    def _maybe_prior_samples(self, state: TrainState, key):
+        """Draw prior samples for the add heuristic when configured
+        (component_adaptation.py:246-248)."""
+        cfg = self.vips_cfg
+        if cfg is None or cfg.num_prior_samples <= 0 or self.prior_mean is None:
+            return None
+        d = self.prior_mean.shape[0]
+        eps = jax.random.normal(key, (cfg.num_prior_samples, d))
+        return self.prior_mean[None, :] + jnp.sqrt(self.prior_cov_diag)[None, :] * eps
+
+    def _update_phase(
+        self, state: TrainState, prop: sel_ops.Proposal,
+        lnpdfs: jnp.ndarray, grads: jnp.ndarray,
+        prior_samples=None, prior_lnpdfs=None,
+    ) -> TrainState:
+        key, k_db, k_adapt = jax.random.split(state.key, 3)
+        iteration = state.num_updates
+
+        db, window = sel_ops.finalize(
+            state.model, state.db, self.selector_cfg, iteration, prop,
+            lnpdfs, grads, k_db,
+        )
+        window = window.replace(
+            samples=self._shard_batch(window.samples),
+            target_grads=self._shard_batch(window.target_grads),
+        )
+
+        model, meta, wstep = self._run_updates(state.model, state.meta,
+                                               state.wstep, window)
+        num_updates = state.num_updates + 1
+
+        adapt = state.adapt
+        if self.vips_cfg is not None:
+            model, meta, adapt, db = adapt_ops.adapt_number_of_components(
+                model, meta, adapt, db, self.vips_cfg, num_updates, k_adapt,
+                prior_samples, prior_lnpdfs,
+            )
+
+        return TrainState(
+            model=model, meta=meta, db=db, wstep=wstep, adapt=adapt,
+            num_updates=num_updates, key=key,
+        )
+
+    def _run_updates(self, model: GmmState, meta: MetaState,
+                     wstep: WeightStepsizeState, window):
+        """Component + weight updates on the selected sample window
+        (reference: gmmvi.py:163-174, same ordering)."""
+        # 1. component stepsize adaptation
+        new_stepsizes = step_ops.COMPONENT_STEPSIZE_ADAPTERS[
+            self.component_stepsize_type
+        ](meta, self.component_stepsize_cfg)
+        meta = meta.replace(
+            stepsizes=jnp.where(model.mask, new_stepsizes, meta.stepsizes)
+        )
+
+        # 2. natural gradient estimation
+        if self.estimator_type == "Stein":
+            est = est_ops.stein_estimate(
+                model, window.samples, window.valid, window.mapping,
+                window.background_log_pdfs, window.target_lnpdfs,
+                window.target_grads,
+                use_self_normalized_importance_weights=self.estimator_cfg[
+                    "use_self_normalized_importance_weights"
+                ],
+                only_use_own_samples=self.estimator_cfg["only_use_own_samples"],
+            )
+        elif self.estimator_type == "MORE":
+            est = est_ops.more_estimate(
+                model, window.samples, window.valid, window.mapping,
+                window.background_log_pdfs, window.target_lnpdfs,
+                meta.l2_regularizers,
+                use_self_normalized_importance_weights=self.estimator_cfg[
+                    "use_self_normalized_importance_weights"
+                ],
+                only_use_own_samples=self.estimator_cfg["only_use_own_samples"],
+            )
+        else:
+            raise ValueError(f"unknown ng_estimator_type {self.estimator_type}")
+
+        # 3. component update
+        model, meta = upd_ops.UPDATERS[self.updater_type](
+            model, meta, est.expected_hessians_neg, est.expected_gradients_neg,
+            meta.stepsizes, temperature=self.temperature,
+        )
+
+        # 4. weight stepsize adaptation
+        wstep = step_ops.WEIGHT_STEPSIZE_ADAPTERS[self.weight_stepsize_type](
+            wstep, model, meta, self.weight_stepsize_cfg
+        )
+
+        # 5. weight update (stores component rewards)
+        elr, meta = w_ops.expected_log_ratios(
+            model, meta, window.samples, window.valid,
+            window.background_log_pdfs, window.target_lnpdfs,
+            self.temperature,
+            self.weight_updater_cfg["use_self_normalized_importance_weights"],
+        )
+        if self.weight_updater_type == "direct":
+            model, meta = w_ops.direct_weight_update(
+                model, meta, elr, wstep.stepsize, self.temperature
+            )
+        elif self.weight_updater_type == "trust-region":
+            model, meta = w_ops.trust_region_weight_update(
+                model, meta, elr, wstep.stepsize, self.temperature
+            )
+        else:
+            raise ValueError(
+                f"unknown weight_updater_type {self.weight_updater_type}"
+            )
+        return model, meta, wstep
+
+    def _full_step(self, state: TrainState) -> TrainState:
+        """Whole iteration as one compiled program (jit-safe targets)."""
+        state, prop = self._propose_phase(state)
+        lnpdfs, grads = self._eval_target(prop.samples)
+
+        prior_samples = prior_lnpdfs = None
+        if (
+            self.vips_cfg is not None
+            and self.vips_cfg.num_prior_samples > 0
+            and self.prior_mean is not None
+        ):
+            key, k_prior = jax.random.split(state.key)
+            state = state.replace(key=key)
+            prior_samples = self._maybe_prior_samples(state, k_prior)
+            prior_lnpdfs = self.target_distribution.log_density(prior_samples)
+
+        return self._update_phase(state, prop, lnpdfs, grads,
+                                  prior_samples, prior_lnpdfs)
+
+    # ------------------------------------------------------------------
+    # Public API
+    # ------------------------------------------------------------------
+    def train_iter(self) -> None:
+        """Advance one iteration (reference: gmmvi.py:146-161)."""
+        if self.target_distribution.safe_for_jit:
+            self.state = self._jitted_step(self.state)
+            return
+        # host-target path: propose compiled, target eager, update compiled
+        state, prop = self._jitted_propose(self.state)
+        lnpdfs, grads = self._eval_target(prop.samples)
+        lnpdfs = jnp.asarray(lnpdfs, jnp.float32)
+        grads = jnp.asarray(grads, jnp.float32)
+
+        prior_samples = prior_lnpdfs = None
+        if (
+            self.vips_cfg is not None
+            and self.vips_cfg.num_prior_samples > 0
+            and self.prior_mean is not None
+        ):
+            key, k_prior = jax.random.split(state.key)
+            state = state.replace(key=key)
+            prior_samples = self._maybe_prior_samples(state, k_prior)
+            prior_lnpdfs = jnp.asarray(
+                self.target_distribution.log_density(prior_samples), jnp.float32
+            )
+        self.state = self._jitted_update(
+            state, prop, lnpdfs, grads, prior_samples, prior_lnpdfs
+        )
+
+    @property
+    def model(self) -> GmmState:
+        return self.state.model
+
+    @property
+    def num_updates(self) -> int:
+        return int(self.state.num_updates)
+
+    # ------------------------------------------------------------------
+    # Construction
+    # ------------------------------------------------------------------
+    @staticmethod
+    def build_from_config(config: dict, target_distribution: LNPDF,
+                          model: GmmState, meta: Optional[MetaState] = None,
+                          mesh: Optional[jax.sharding.Mesh] = None,
+                          seed: Optional[int] = None) -> "GMMVI":
+        """Assemble a GMMVI instance from a reference-schema config dict
+        (reference: gmmvi.py:105-144).  ``model`` is a padded GmmState (see
+        :func:`gmmvi_tpu.experiments.setup.construct_initial_mixture`)."""
+        tpu_cfg = config.get("tpu", {}) or {}
+        temperature = config["temperature"]
+        kmax = model.max_components
+        d = model.num_dimensions
+
+        # --- selector -------------------------------------------------
+        sel_type = config["sample_selector_type"]
+        sel_c = config["sample_selector_config"]
+        n_des = int(sel_c["desired_samples_per_component"])
+        reused = int(
+            math.floor(sel_c["ratio_reused_samples_to_desired"] * n_des)
+        )
+        if reused > 0:
+            default_bg = min(4 * kmax, 2048)
+        else:
+            default_bg = kmax
+        selector_cfg = SelectorConfig(
+            kind=sel_type,
+            desired_samples_per_component=n_des,
+            reused_samples_per_component=reused,
+            max_background_dists=int(tpu_cfg.get("max_background_dists",
+                                                 default_bg)),
+        )
+
+        # --- component adaptation ------------------------------------
+        vips_cfg = None
+        prior_mean = prior_cov_diag = None
+        if config["num_component_adapter_type"] == "adaptive":
+            ac = config["num_component_adapter_config"]
+            mi = config.get("model_initialization", {})
+            pm = mi.get("prior_mean", None)
+            ic = mi.get("initial_cov", None)
+            prior_entropy = None
+            if pm is not None and ic is not None:
+                pm_arr = np.asarray(pm, np.float32) * np.ones(d, np.float32)
+                ic_arr = np.asarray(ic, np.float32) * np.ones(d, np.float32)
+                prior_mean, prior_cov_diag = pm_arr, ic_arr
+                prior_entropy = adapt_ops.diagonal_gaussian_entropy(ic_arr)
+            vips_cfg = VipsConfig(
+                del_iters=int(ac["del_iters"]),
+                add_iters=int(ac["add_iters"]),
+                max_components=int(ac["max_components"]),
+                thresholds_for_add_heuristic=tuple(
+                    float(t) for t in np.atleast_1d(
+                        ac["thresholds_for_add_heuristic"]
+                    )
+                ),
+                min_weight_for_del_heuristic=float(
+                    ac["min_weight_for_del_heuristic"]
+                ),
+                num_database_samples=int(ac["num_database_samples"]),
+                num_prior_samples=int(ac["num_prior_samples"]),
+                prior_entropy=prior_entropy,
+            )
+
+        # --- sample database sizing -----------------------------------
+        w_total = sel_ops.total_window_size(selector_cfg, kmax)
+        if reused > 0:
+            default_ring = min(reused + 4, int(tpu_cfg.get("max_dist_ring_iters", 64)))
+        else:
+            default_ring = 2
+        num_db_cand = (
+            vips_cfg.num_database_samples if vips_cfg is not None else 0
+        )
+        reservoir = int(
+            tpu_cfg.get("reservoir_capacity",
+                        max(1024, min(num_db_cand, 16384)))
+        )
+        if vips_cfg is not None and vips_cfg.num_database_samples > reservoir:
+            vips_cfg = vips_cfg._replace(num_database_samples=reservoir)
+        keep_samples = bool(config.get("use_sample_database", True))
+        db = db_ops.create_sample_db(
+            dim=d,
+            max_components=kmax,
+            capacity=w_total,
+            dist_ring_iters=int(tpu_cfg.get("dist_ring_iters", default_ring)),
+            reservoir_capacity=reservoir,
+            diagonal=model.diagonal,
+            keep_samples=keep_samples,
+        )
+        if not keep_samples:
+            # no reuse: behaves like the reference's keep_samples=False
+            selector_cfg = selector_cfg._replace(reused_samples_per_component=0)
+
+        # --- meta state ------------------------------------------------
+        if meta is None:
+            initial_stepsize = config["component_stepsize_adapter_config"][
+                "initial_stepsize"
+            ]
+            initial_reg = config.get("ng_estimator_config", {}).get(
+                "initial_l2_regularizer", 1e-12
+            )
+            meta = meta_ops.create_meta_state(
+                model, initial_stepsize, initial_reg,
+                meta_ops.history_length_from_config(config),
+            )
+
+        wstep = step_ops.create_weight_stepsize_state(
+            config["weight_stepsize_adapter_config"]["initial_stepsize"]
+        )
+
+        if seed is None:
+            seed = int(config.get("seed", config.get("start_seed", 0)))
+        state = TrainState(
+            model=model,
+            meta=meta,
+            db=db,
+            wstep=wstep,
+            adapt=adapt_ops.create_adaptation_state(),
+            num_updates=jnp.asarray(0, jnp.int32),
+            key=jax.random.PRNGKey(seed),
+        )
+
+        est_cfg = dict(config.get("ng_estimator_config", {}))
+        est_cfg.setdefault("only_use_own_samples", False)
+        est_cfg.setdefault("use_self_normalized_importance_weights", True)
+        est_cfg.pop("initial_l2_regularizer", None)
+
+        return GMMVI(
+            target_distribution=target_distribution,
+            initial_state=state,
+            temperature=temperature,
+            selector_cfg=selector_cfg,
+            estimator_type=config["ng_estimator_type"],
+            estimator_cfg=est_cfg,
+            updater_type=config["ng_based_updater_type"],
+            component_stepsize_type=config["component_stepsize_adapter_type"],
+            component_stepsize_cfg=config["component_stepsize_adapter_config"],
+            weight_updater_type=config["weight_updater_type"],
+            weight_updater_cfg=config["weight_updater_config"],
+            weight_stepsize_type=config["weight_stepsize_adapter_type"],
+            weight_stepsize_cfg=config["weight_stepsize_adapter_config"],
+            vips_cfg=vips_cfg,
+            prior_mean=prior_mean,
+            prior_cov_diag=prior_cov_diag,
+            mesh=mesh,
+        )
