@@ -29,9 +29,14 @@ Python loops) — everything here is built TPU-first:
 __version__ = "0.1.0"
 
 from gmmvi_tpu.models.gmm import GmmState, create_gmm_state
+from gmmvi_tpu.optimization.gmmvi import GMMVI, TrainState
+from gmmvi_tpu.runner import GmmviRunner
 
 __all__ = [
     "GmmState",
     "create_gmm_state",
+    "GMMVI",
+    "TrainState",
+    "GmmviRunner",
     "__version__",
 ]
