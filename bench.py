@@ -1,0 +1,64 @@
+"""Benchmark: samples/s/chip through the full GMMVI pipeline on 20D Student-T.
+
+The BASELINE.json headline workload (SAMTRON on the 20D Student-T mixture,
+reference recipe examples/5_samtron_20D_student-T.py: 45 components, 200
+samples per component).  One benchmark iteration = one full training step:
+per-component sampling, target density+gradient evaluation, background
+densities, Stein natural-gradient estimation, KL trust-region component
+updates, and the trust-region weight update — all inside a single compiled XLA
+program.
+
+Throughput counts the statically-shaped sample batch actually processed per
+iteration (K * n_des target evaluations + density pipeline), which is the
+sample-axis work the chip performs each step.
+
+The reference publishes no benchmark numbers (BASELINE.md): vs_baseline is
+reported as 1.0 and the recorded value serves as the cross-round anchor.
+
+Prints exactly one JSON line.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+import jax
+
+
+def main():
+    from __graft_entry__ import _build_gmmvi
+
+    kmax = 48          # 45 initial components, padded to the static capacity
+    n_des = 200        # paper recipe: 200 samples per component
+    gmmvi = _build_gmmvi(num_dimensions=20, n_des=n_des, kmax=kmax, k0=45,
+                         seed=0)
+    batch = kmax * n_des  # statically-shaped per-iteration sample pipeline
+
+    # warmup / compile
+    for _ in range(3):
+        gmmvi.train_iter()
+    jax.block_until_ready(gmmvi.state.model.means)
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        gmmvi.train_iter()
+    jax.block_until_ready(gmmvi.state.model.means)
+    elapsed = time.perf_counter() - t0
+
+    samples_per_sec = batch * iters / elapsed
+    assert np.all(
+        np.isfinite(np.asarray(gmmvi.state.model.means)[: int(
+            gmmvi.state.model.num_active)])
+    )
+    print(json.dumps({
+        "metric": "samples_per_sec_per_chip_stm20_samtron",
+        "value": round(samples_per_sec, 1),
+        "unit": "samples/s",
+        "vs_baseline": 1.0,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -20,11 +20,13 @@ from gmmvi_tpu.models.gmm import create_gmm_state
 class GMM_LNPDF(LNPDF):
     """Target given by a (full-covariance) GMM (reference: gmm.py:12-120)."""
 
-    def __init__(self, target_weights, target_means, target_covs, diagonal=False):
+    def __init__(self, target_weights, target_means, target_covs,
+                 diagonal=False, make_plots=True):
         super().__init__(use_log_density_and_grad=False, safe_for_jit=True)
         self.target_weights = np.asarray(target_weights, np.float32)
         self.target_means = np.asarray(target_means, np.float32)
         self.target_covs = np.asarray(target_covs, np.float32)
+        self.make_plots = make_plots
         self._state = create_gmm_state(
             self.target_weights, self.target_means, self.target_covs,
             diagonal=diagonal,
@@ -55,7 +57,16 @@ class GMM_LNPDF(LNPDF):
             self.target_means[:, None, :] - means[None, :, :], axis=2
         ).min(axis=1)
         threshold = np.linalg.norm(6.0 * np.ones(self.get_num_dimensions()))
-        return {"num_detected_modes": int(np.sum(dists < threshold))}
+        metrics = {"num_detected_modes": int(np.sum(dists < threshold))}
+        if self.make_plots and self.get_num_dimensions() >= 2:
+            from gmmvi_tpu.experiments.evaluation.plotting import (
+                marginal_comparison_figure,
+            )
+
+            metrics["marginals"] = marginal_comparison_figure(
+                self, model_state, (-70, 70), grid=(4, 5)
+            )
+        return metrics
 
 
 class DIAGGMM_LNPDF(GMM_LNPDF):

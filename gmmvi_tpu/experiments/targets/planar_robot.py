@@ -93,6 +93,24 @@ class PlanarRobot(LNPDF):
                 gaps = np.diff(first_links)
                 n_modes = 1 + int(np.sum(gaps > 0.4))
             metrics[f"num_detected_modes_[{g[0]}, {g[1]}]"] = n_modes
+
+        try:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            from gmmvi_tpu.experiments.evaluation.visualize_planar_robot import (
+                visualize_mixture,
+            )
+
+            fig = plt.figure()
+            weights = np.asarray(model_state.weights[:active])
+            visualize_mixture(weights, means, goals=np.asarray(self.goals),
+                              ax=fig.gca())
+            fig.tight_layout()
+            metrics["mixture_plot"] = fig
+        except Exception:  # matplotlib unavailable: metrics only
+            pass
         return metrics
 
 

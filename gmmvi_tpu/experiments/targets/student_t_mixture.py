@@ -24,8 +24,10 @@ _PREC = jax.lax.Precision.HIGHEST
 class StudentTMixture_LNPDF(LNPDF):
     """(reference: student_t_mixture.py:15-135)"""
 
-    def __init__(self, target_weights, target_means, target_covs, alpha=2):
+    def __init__(self, target_weights, target_means, target_covs, alpha=2,
+                 make_plots=True):
         super().__init__(use_log_density_and_grad=False, safe_for_jit=True)
+        self.make_plots = make_plots
         self.alpha = float(alpha)
         self.target_weights = np.asarray(target_weights, np.float32)
         self.target_means = np.asarray(target_means, np.float32)
@@ -110,7 +112,16 @@ class StudentTMixture_LNPDF(LNPDF):
             self.target_means[:, None, :] - means[None, :, :], axis=2
         ).min(axis=1)
         threshold = np.linalg.norm(6.0 * np.ones(self.get_num_dimensions()))
-        return {"num_detected_modes": int(np.sum(dists < threshold))}
+        metrics = {"num_detected_modes": int(np.sum(dists < threshold))}
+        if self.make_plots and self.get_num_dimensions() >= 2:
+            from gmmvi_tpu.experiments.evaluation.plotting import (
+                marginal_comparison_figure,
+            )
+
+            metrics["marginals"] = marginal_comparison_figure(
+                self, model_state, (-25, 25), grid=(5, 4)
+            )
+        return metrics
 
 
 def make_target(num_dimensions: int, harder_setting: bool,

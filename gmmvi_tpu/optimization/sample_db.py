@@ -263,7 +263,7 @@ def get_newest_samples(
         jnp.where(valid, dist_key, r * kmax)
     ].add(1.0, mode="drop")
 
-    u = max_background_dists
+    u = min(max_background_dists, r * kmax)
     top_counts, top_keys = jax.lax.top_k(counts, u)
     sel_mask = top_counts > 0
     # membership of each sample's dist in the selected set

@@ -1,0 +1,58 @@
+"""Device-mesh utilities for data-parallel GMMVI.
+
+The workload's scaling axis is the per-iteration Monte-Carlo sample batch
+(SURVEY.md §5): model and optimizer state are tiny ([K, D], [K, D, D]) and
+stay replicated, the sample batch is sharded over a 1-D ``data`` mesh axis,
+and every per-component sufficient statistic (E[grad], E[Hessian],
+E[log-ratio], ESS normalizers) is a contraction over the sample axis that XLA
+lowers to psum collectives over ICI (intra-slice) / DCN (multi-host).
+
+Multi-host usage: call :func:`initialize_distributed` once per host, then
+:func:`data_mesh` returns the global mesh; GMMVI / GmmviRunner accept it via
+their ``mesh`` argument.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> None:
+    """Initialize the JAX distributed runtime for multi-host pods.
+
+    On Cloud TPU pods the arguments are auto-detected; pass them explicitly in
+    other environments.  No-op when already initialized.
+    """
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError:
+        pass  # already initialized
+
+
+def data_mesh(num_devices: Optional[int] = None) -> Mesh:
+    """1-D ``data`` mesh over (up to) ``num_devices`` global devices."""
+    devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    return Mesh(np.asarray(devices).reshape(len(devices)), ("data",))
+
+
+def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    """Sharding for a batch tensor: leading axis over ``data``, rest
+    replicated."""
+    return NamedSharding(
+        mesh, PartitionSpec("data", *([None] * (ndim - 1)))
+    )
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, PartitionSpec())

@@ -1,0 +1,125 @@
+"""SPMD data-parallel tests on the virtual 8-device CPU mesh.
+
+Strategy from SURVEY.md §4/§5: the same pjit code paths run on
+xla_force_host_platform_device_count devices; per-component sufficient
+statistics reduced over the mesh must match the single-device path.
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gmmvi_tpu.configs import get_default_algorithm_config, update_config
+from gmmvi_tpu.experiments.setup import init_experiment
+from gmmvi_tpu.experiments.targets.gmm import make_simple_target
+from gmmvi_tpu.models import gmm as G
+from gmmvi_tpu.optimization.gmmvi import GMMVI
+from gmmvi_tpu.optimization.ng_estimators import stein_estimate
+
+
+requires_multidevice = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def _mesh():
+    return Mesh(np.asarray(jax.devices()[:8]).reshape(8), ("data",))
+
+
+@requires_multidevice
+def test_stein_estimate_sharded_matches_replicated():
+    rng = np.random.RandomState(0)
+    k, d, n = 3, 4, 800
+    w = np.ones(k, np.float32) / k
+    mu = rng.randn(k, d).astype(np.float32)
+    a = rng.randn(k, d, d).astype(np.float32)
+    covs = np.einsum("kij,klj->kil", a, a) + np.eye(d, dtype=np.float32)
+    state = G.create_gmm_state(w, mu, covs, max_components=k + 1)
+
+    samples = rng.randn(n, d).astype(np.float32)
+    mask = np.ones(n, bool)
+    mapping = np.repeat(np.arange(n // 200) % k, 200).astype(np.int32)
+    bg = np.asarray(G.log_density(state, jnp.asarray(samples)))
+    lnpdfs = rng.randn(n).astype(np.float32)
+    grads = rng.randn(n, d).astype(np.float32)
+
+    def run(shard):
+        s = jnp.asarray(samples)
+        g = jnp.asarray(grads)
+        if shard:
+            mesh = _mesh()
+            s = jax.device_put(s, NamedSharding(mesh, P("data", None)))
+            g = jax.device_put(g, NamedSharding(mesh, P("data", None)))
+        est = jax.jit(stein_estimate, static_argnames=(
+            "use_self_normalized_importance_weights", "only_use_own_samples"
+        ))(
+            state, s, jnp.asarray(mask), jnp.asarray(mapping),
+            jnp.asarray(bg), jnp.asarray(lnpdfs), g,
+            use_self_normalized_importance_weights=True,
+        )
+        return (np.asarray(est.expected_hessians_neg),
+                np.asarray(est.expected_gradients_neg))
+
+    h_rep, g_rep = run(False)
+    h_sh, g_sh = run(True)
+    np.testing.assert_allclose(h_sh, h_rep, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(g_sh, g_rep, rtol=1e-4, atol=1e-5)
+
+
+def _build(mesh, seed=3):
+    target = make_simple_target()
+    cfg = get_default_algorithm_config("SAMTRON")
+    cfg = update_config(cfg, {
+        "start_seed": seed, "seed": seed,
+        "target_fn": target, "environment_name": "test",
+        "model_initialization": {
+            "use_diagonal_covs": False, "num_initial_components": 3,
+            "prior_mean": 0.0, "prior_scale": 3.0, "initial_cov": 4.0,
+        },
+        "use_sample_database": True, "max_database_size": 100000,
+        "temperature": 1.0,
+        "sample_selector_config": {"desired_samples_per_component": 16,
+                                   "ratio_reused_samples_to_desired": 1.0},
+        "num_component_adapter_config": {
+            "del_iters": 8, "add_iters": 5, "max_components": 8,
+            "thresholds_for_add_heuristic": [500.0, 100.0],
+            "min_weight_for_del_heuristic": 1e-6,
+            "num_database_samples": 128, "num_prior_samples": 0,
+        },
+        "gmmvi_runner_config": {"log_metrics_interval": 100},
+        "tpu": {"max_components": 8},
+    })
+    t, model, meta = init_experiment(cfg)
+    return target, GMMVI.build_from_config(cfg, target, model, meta, mesh=mesh)
+
+
+@requires_multidevice
+def test_full_training_step_sharded_matches_replicated():
+    """The complete compiled training iteration with the sample batch sharded
+    over 8 devices produces the same trajectory as the unsharded run."""
+    _, gmmvi_rep = _build(mesh=None)
+    _, gmmvi_sh = _build(mesh=_mesh())
+    for _ in range(4):
+        gmmvi_rep.train_iter()
+        gmmvi_sh.train_iter()
+    np.testing.assert_allclose(
+        np.asarray(gmmvi_sh.state.model.means),
+        np.asarray(gmmvi_rep.state.model.means),
+        rtol=5e-4, atol=5e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(gmmvi_sh.state.model.log_weights[:3]),
+        np.asarray(gmmvi_rep.state.model.log_weights[:3]),
+        rtol=5e-4, atol=5e-4,
+    )
+    assert int(gmmvi_sh.state.model.num_active) == int(
+        gmmvi_rep.state.model.num_active
+    )
+
+
+@requires_multidevice
+def test_dryrun_multichip_entry():
+    import __graft_entry__ as entry
+
+    entry.dryrun_multichip(8)

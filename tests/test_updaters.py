@@ -1,0 +1,204 @@
+"""Component-updater tests: closed forms, KL trust region, rejection."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gmmvi_tpu.models import gmm as G
+from gmmvi_tpu.models import meta as M
+from gmmvi_tpu.optimization.component_updaters import (
+    direct_update,
+    iblr_update,
+    trust_region_update,
+)
+
+
+def _setup(k=2, d=3, kmax=4, seed=0, stepsize=0.5, diagonal=False):
+    rng = np.random.RandomState(seed)
+    w = np.ones(k, np.float32) / k
+    mu = rng.randn(k, d).astype(np.float32)
+    if diagonal:
+        covs = rng.uniform(0.5, 2.0, (k, d)).astype(np.float32)
+    else:
+        a = rng.randn(k, d, d).astype(np.float32)
+        covs = np.einsum("kij,klj->kil", a, a) + np.eye(d, dtype=np.float32)
+    model = G.create_gmm_state(w, mu, covs, max_components=kmax,
+                               diagonal=diagonal)
+    meta = M.create_meta_state(model, initial_stepsize=stepsize,
+                               initial_regularizer=1e-12,
+                               max_reward_history_length=4)
+    return model, meta
+
+
+def _spd(rng, d, scale=1.0):
+    a = rng.randn(d, d)
+    return (scale * (a @ a.T) + 0.5 * np.eye(d)).astype(np.float32)
+
+
+def gauss_kl(mean0, cov0, mean1, cov1):
+    """KL(N0 || N1)."""
+    d = len(mean0)
+    c1inv = np.linalg.inv(cov1)
+    diff = mean1 - mean0
+    return 0.5 * (
+        np.trace(c1inv @ cov0)
+        + diff @ c1inv @ diff
+        - d
+        + np.log(np.linalg.det(cov1) / np.linalg.det(cov0))
+    )
+
+
+def test_direct_update_closed_form():
+    """Precision-space update: P' = P + s*Hneg, lin' = lin + s*(Hneg mu - gneg)."""
+    model, meta = _setup(seed=1)
+    rng = np.random.RandomState(2)
+    k, d = 2, 3
+    hneg = np.stack([_spd(rng, d, 0.1) for _ in range(model.max_components)])
+    gneg = rng.randn(model.max_components, d).astype(np.float32) * 0.1
+    s = np.asarray(meta.stepsizes)
+
+    res = direct_update(model, meta, jnp.asarray(hneg), jnp.asarray(gneg),
+                        meta.stepsizes)
+    for i in range(k):
+        cov = np.asarray(model.covs[i])
+        prec = np.linalg.inv(cov)
+        lin = prec @ np.asarray(model.means[i])
+        new_prec = prec + s[i] * hneg[i]
+        new_lin = lin + s[i] * (hneg[i] @ np.asarray(model.means[i]) - gneg[i])
+        want_mean = np.linalg.solve(new_prec, new_lin)
+        want_cov = np.linalg.inv(new_prec)
+        np.testing.assert_allclose(
+            np.asarray(res.model.means[i]), want_mean, rtol=2e-3, atol=2e-3
+        )
+        got_cov = np.asarray(res.model.covs[i])
+        np.testing.assert_allclose(got_cov, want_cov, rtol=5e-3, atol=5e-3)
+    # l2 regularizer halved-floored on success
+    np.testing.assert_allclose(
+        np.asarray(res.meta.l2_regularizers[:k]), 1e-12, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.meta.num_received_updates[:k]), 1.0
+    )
+
+
+def test_direct_update_rejects_indefinite():
+    """A huge negative Hessian makes the new precision indefinite: keep old."""
+    model, meta = _setup(seed=3)
+    d = 3
+    hneg = np.tile((-50.0 * np.eye(d, dtype=np.float32))[None],
+                   (model.max_components, 1, 1))
+    gneg = np.zeros((model.max_components, d), np.float32)
+    res = direct_update(model, meta, jnp.asarray(hneg), jnp.asarray(gneg),
+                        meta.stepsizes)
+    np.testing.assert_allclose(
+        np.asarray(res.model.means[:2]), np.asarray(model.means[:2])
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.model.chols[:2]), np.asarray(model.chols[:2])
+    )
+    # failed: l2 reg increased x10 (capped 1e-6)
+    np.testing.assert_allclose(
+        np.asarray(res.meta.l2_regularizers[:2]), 1e-11, rtol=1e-4
+    )
+
+
+def test_iblr_no_mean_update_on_first_iteration():
+    model, meta = _setup(seed=4)
+    rng = np.random.RandomState(5)
+    d = 3
+    hneg = np.stack([_spd(rng, d, 0.05) for _ in range(model.max_components)])
+    gneg = rng.randn(model.max_components, d).astype(np.float32)
+    res = iblr_update(model, meta, jnp.asarray(hneg), jnp.asarray(gneg),
+                      meta.stepsizes)
+    # first update: means unchanged, covariances updated
+    np.testing.assert_allclose(
+        np.asarray(res.model.means[:2]), np.asarray(model.means[:2])
+    )
+    assert not np.allclose(
+        np.asarray(res.model.chols[:2]), np.asarray(model.chols[:2])
+    )
+    # second update moves the mean
+    res2 = iblr_update(res.model, res.meta, jnp.asarray(hneg),
+                       jnp.asarray(gneg), res.meta.stepsizes)
+    assert not np.allclose(
+        np.asarray(res2.model.means[:2]), np.asarray(res.model.means[:2])
+    )
+
+
+def test_trust_region_update_respects_kl_bound():
+    model, meta = _setup(seed=6, stepsize=0.05)
+    rng = np.random.RandomState(7)
+    d = 3
+    hneg = np.stack([_spd(rng, d, 0.3) for _ in range(model.max_components)])
+    gneg = (rng.randn(model.max_components, d) * 2).astype(np.float32)
+    res = trust_region_update(model, meta, jnp.asarray(hneg),
+                              jnp.asarray(gneg), meta.stepsizes)
+    eps = float(meta.stepsizes[0])
+    moved = False
+    for i in range(2):
+        kl = gauss_kl(
+            np.asarray(res.model.means[i]), np.asarray(res.model.covs[i]),
+            np.asarray(model.means[i]), np.asarray(model.covs[i]),
+        )
+        # KL(new || old) must be within ~the bound (10% tolerance like the
+        # reference's convergence criterion, plus slack for eta=max(.,T))
+        assert kl < 1.6 * eps, f"component {i}: KL {kl} exceeds bound {eps}"
+        if kl > 1e-6:
+            moved = True
+    assert moved
+    # successful: etas recorded for warm start
+    assert np.all(np.asarray(res.meta.last_etas[:2]) > 0)
+
+
+def test_trust_region_warm_start_converges_again():
+    model, meta = _setup(seed=8, stepsize=0.05)
+    rng = np.random.RandomState(9)
+    d = 3
+    hneg = np.stack([_spd(rng, d, 0.3) for _ in range(model.max_components)])
+    gneg = (rng.randn(model.max_components, d)).astype(np.float32)
+    res = trust_region_update(model, meta, jnp.asarray(hneg),
+                              jnp.asarray(gneg), meta.stepsizes)
+    res2 = trust_region_update(res.model, res.meta, jnp.asarray(hneg),
+                               jnp.asarray(gneg), res.meta.stepsizes)
+    eps = float(meta.stepsizes[0])
+    for i in range(2):
+        kl = gauss_kl(
+            np.asarray(res2.model.means[i]), np.asarray(res2.model.covs[i]),
+            np.asarray(res.model.means[i]), np.asarray(res.model.covs[i]),
+        )
+        assert kl < 1.6 * eps
+
+
+def test_trust_region_diagonal():
+    model, meta = _setup(seed=10, stepsize=0.05, diagonal=True)
+    rng = np.random.RandomState(11)
+    d = 3
+    hneg = rng.uniform(0.1, 0.5, (model.max_components, d)).astype(np.float32)
+    gneg = rng.randn(model.max_components, d).astype(np.float32)
+    res = trust_region_update(model, meta, jnp.asarray(hneg),
+                              jnp.asarray(gneg), meta.stepsizes)
+    eps = float(meta.stepsizes[0])
+    for i in range(2):
+        kl = gauss_kl(
+            np.asarray(res.model.means[i]),
+            np.diag(np.asarray(res.model.covs[i])),
+            np.asarray(model.means[i]),
+            np.diag(np.asarray(model.covs[i])),
+        )
+        assert np.isfinite(kl) and kl < 1.6 * eps
+
+
+def test_updaters_leave_padding_slots_alone():
+    model, meta = _setup(seed=12)
+    rng = np.random.RandomState(13)
+    d = 3
+    hneg = np.stack([_spd(rng, d, 0.1) for _ in range(model.max_components)])
+    gneg = rng.randn(model.max_components, d).astype(np.float32)
+    for fn in (direct_update, iblr_update, trust_region_update):
+        res = fn(model, meta, jnp.asarray(hneg), jnp.asarray(gneg),
+                 meta.stepsizes)
+        # padding chols stay identity, weights stay -inf
+        np.testing.assert_allclose(
+            np.asarray(res.model.chols[2:]),
+            np.tile(np.eye(d)[None], (2, 1, 1)),
+        )
+        assert np.all(np.asarray(res.model.log_weights[2:]) == -np.inf)
