@@ -311,10 +311,13 @@ def get_random_samples(
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """``n`` (sample, target log-density) pairs uniform over history, from the
     reservoir; returns (samples, lnpdfs, valid_mask).
-    (reference: sample_db.py:137-152)"""
+
+    Without replacement, like the reference's shuffled-index gather
+    (sample_db.py:137-152): a random permutation of the reservoir slots, with
+    slots beyond the filled prefix masked invalid.
+    """
     c = db.reservoir_capacity
     filled = jnp.minimum(db.res_count, c)
-    idx = jax.random.randint(key, (n,), 0, jnp.maximum(filled, 1))
-    valid = jnp.arange(n) < filled  # degenerate only before any sample exists
-    valid = jnp.logical_and(valid | (filled >= n), filled > 0)
-    return db.res_samples[idx], db.res_lnpdfs[idx], valid
+    perm = jax.random.permutation(key, c)[:n]
+    valid = perm < filled
+    return db.res_samples[perm], db.res_lnpdfs[perm], valid
