@@ -87,32 +87,28 @@ def stein_estimate(
         log_w = log_iw - masked_logsumexp(log_iw, mask=mask, axis=1, keepdims=True)
         w = jnp.where(mask, jnp.exp(log_w), 0.0)
         w = w / jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1e-38)
-        grad = jnp.einsum("kn,nd->kd", w, log_ratio_grads, precision=_PREC)
-        hess = jnp.einsum(
-            "kn,nd,kne->kde", w, log_ratio_grads, ptd, precision=_PREC
-        )
-        hess = 0.5 * (hess + jnp.swapaxes(hess, -1, -2))
     else:
         # standard IW with the signed-logsumexp trick
         # (reference: ng_estimator.py:146-169); 1/n uses the VALID count.
         n = jnp.maximum(jnp.sum(sample_mask.astype(jnp.float32)), 1.0)
         w = jnp.where(mask, jnp.exp(log_iw), 0.0) / n
-        grad = jnp.einsum("kn,nd->kd", w, log_ratio_grads, precision=_PREC)
+
+    grad = jnp.einsum("kn,nd->kd", w, log_ratio_grads, precision=_PREC)
+    if model.diagonal:
+        # diagonal path keeps only the elementwise products
+        # (reference: ng_estimator.py:159-162, 178-181)
+        hess = jnp.einsum(
+            "kn,nd,knd->kd", w, log_ratio_grads, ptd, precision=_PREC
+        )
+    else:
         # H[d, e] = E[g_d * ptd_e] — matches reference index order
         # (ng_estimator.py:165-166: grads expand to [N,D,1], ptd to [N,1,D])
         hess = jnp.einsum(
             "kn,nd,kne->kde", w, log_ratio_grads, ptd, precision=_PREC
         )
-
-    if model.diagonal:
-        hess = jnp.einsum("kdd->kd", hess) if hess.ndim == 3 else hess
-        # diagonal path in the reference keeps only elementwise products
-        # (ng_estimator.py:159-162, 178-181): recompute exactly
-        hess = jnp.einsum(
-            "kn,nd,knd->kd", w, log_ratio_grads, ptd, precision=_PREC
-        )
         if use_self_normalized_importance_weights:
-            pass  # elementwise: symmetric by construction
+            # symmetrization only in the SN path (ng_estimator.py:186)
+            hess = 0.5 * (hess + jnp.swapaxes(hess, -1, -2))
     return NgEstimate(-hess, -grad)
 
 
