@@ -255,6 +255,11 @@ def log_density_and_grad(
     return pack.model_log_densities, pack.model_grads, pack.component_log_densities
 
 
+def density(state: GmmState, samples: jnp.ndarray) -> jnp.ndarray:
+    """exp of the mixture log density (reference: gmm.py:236-247)."""
+    return jnp.exp(log_density(state, samples))
+
+
 def marginal_log_density(state: GmmState, samples: jnp.ndarray, dim) -> jnp.ndarray:
     """1-D marginal mixture log density along ``dim``
     (reference: gmm.py:218-234, full_cov_gmm.py:49-54)."""

@@ -26,6 +26,13 @@ from gmmvi_tpu.optimization.gmmvi import GMMVI
 from gmmvi_tpu.utils import checkpoint as ckpt
 
 
+def get_process_memory() -> int:
+    """Process RSS in bytes (reference: gmmvi_runner.py:18-21)."""
+    import psutil
+
+    return psutil.Process(os.getpid()).memory_info().rss
+
+
 class GmmviRunner:
     """(reference: gmmvi_runner.py:23-200)"""
 
@@ -80,19 +87,30 @@ class GmmviRunner:
         entropy = -jnp.mean(gmm_ops.log_density(model_state, samples))
         return samples, entropy
 
+    @staticmethod
+    @jax.jit
+    def _cheap_metrics_device(state):
+        """All cheap metrics as one device array (single host fetch)."""
+        return jnp.stack([
+            state.db.num_samples_written.astype(jnp.float32),
+            state.model.num_active.astype(jnp.float32),
+            jnp.max(state.model.weights),
+            jnp.minimum(state.db.write_pos, state.db.capacity).astype(
+                jnp.float32),
+            (jnp.sum(state.db.dist_block_iter >= 0)
+             * state.db.max_components).astype(jnp.float32),
+        ])
+
     def get_cheap_metrics(self) -> dict:
-        """(reference: gmmvi_runner.py:102-117)"""
-        state = self.gmmvi.state
+        """(reference: gmmvi_runner.py:102-117); fetched with one device
+        round-trip to keep per-iteration host latency low."""
+        vals = np.asarray(self._cheap_metrics_device(self.gmmvi.state))
         return {
-            "num_samples": int(state.db.num_samples_written),
-            "num_components": int(state.model.num_active),
-            "max_weight": float(jnp.max(state.model.weights)),
-            "num_db_samples": int(
-                min(int(state.db.write_pos), state.db.capacity)
-            ),
-            "num_db_components": int(
-                jnp.sum(state.db.dist_block_iter >= 0) * state.db.max_components
-            ),
+            "num_samples": int(vals[0]),
+            "num_components": int(vals[1]),
+            "max_weight": float(vals[2]),
+            "num_db_samples": int(vals[3]),
+            "num_db_components": int(vals[4]),
         }
 
     def get_expensive_metrics(self) -> dict:
