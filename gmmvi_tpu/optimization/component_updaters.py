@@ -259,8 +259,33 @@ def _bracketing_search(kl_fn, kl_bound, lower0, upper0):
     return jnp.exp(lower), jnp.exp(upper)
 
 
+def _tr_grid_search(kl_fn, kl_bound, lower0, upper0, grid_size):
+    """Two-level parallel grid search for the trust-region stepsize.
+
+    TPU-first alternative to the sequential bisection: KL(eta) is decreasing
+    in eta (larger eta = smaller step), so the optimal stepsize is the
+    smallest eta whose KL stays within the bound.  Two batched evaluations of
+    a log-spaced grid bracket it to ~(range/grid_size^2) log-accuracy —
+    2 parallel Cholesky batches instead of up to 1000 dependent iterations.
+    Returns (eta, feasible)."""
+    g1 = jnp.linspace(lower0, upper0, grid_size)
+    kls1 = jax.vmap(lambda le: kl_fn(jnp.exp(le))[0])(g1)
+    feas1 = kls1 <= kl_bound  # NaN compares False -> infeasible
+    any1 = jnp.any(feas1)
+    idx1 = jnp.argmax(feas1)
+    lo = g1[jnp.maximum(idx1 - 1, 0)]
+    hi = jnp.where(any1, g1[idx1], upper0)
+
+    g2 = jnp.linspace(lo, hi, grid_size)
+    kls2 = jax.vmap(lambda le: kl_fn(jnp.exp(le))[0])(g2)
+    feas2 = kls2 <= kl_bound
+    idx2 = jnp.argmax(feas2)
+    eta_log = jnp.where(jnp.any(feas2), g2[idx2], hi)
+    return jnp.exp(eta_log), any1
+
+
 def _tr_update_one(old_mean, old_chol, old_inv_chol, last_eta, eps, hneg, gneg,
-                   temperature, diagonal):
+                   temperature, diagonal, search="bracket", grid_size=32):
     """Trust-region update for one component
     (reference: ng_based_component_updater.py:439-511)."""
     d = old_mean.shape[0]
@@ -294,9 +319,17 @@ def _tr_update_one(old_mean, old_chol, old_inv_chol, last_eta, eps, hneg, gneg,
     lower0 = jnp.where(no_warm, -20.0, jnp.maximum(0.0, jnp.log(jnp.abs(last_eta) + 1e-30) - 3.0))
     upper0 = jnp.where(no_warm, 80.0, jnp.log(jnp.abs(last_eta) + 1e-30) + 3.0)
 
-    exp_lower, exp_upper = _bracketing_search(lambda e: kl_fn(e), eps, lower0, upper0)
-    eta = jnp.maximum(exp_lower, temperature)  # (reference line 476)
-    success = exp_lower == exp_upper
+    if search == "grid":
+        eta0, success = _tr_grid_search(
+            lambda e: kl_fn(e), eps, lower0, upper0, grid_size
+        )
+        eta = jnp.maximum(eta0, temperature)
+    else:
+        exp_lower, exp_upper = _bracketing_search(
+            lambda e: kl_fn(e), eps, lower0, upper0
+        )
+        eta = jnp.maximum(exp_lower, temperature)  # (reference line 476)
+        success = exp_lower == exp_upper
 
     kl, new_mean, inv_chol_p = kl_fn(eta)
     if diagonal:
@@ -319,11 +352,20 @@ def trust_region_update(
     model: GmmState, meta: MetaState,
     hessians_neg: jnp.ndarray, grads_neg: jnp.ndarray, stepsizes: jnp.ndarray,
     temperature: float = 1.0,
+    search: str = "bracket",
+    grid_size: int = 32,
 ) -> ComponentUpdateResult:
     """KL-constrained natural gradient step for every component; the stepsize
-    is the trust-region bound epsilon (reference: ng_based_component_updater.py:431-524)."""
+    is the trust-region bound epsilon (reference: ng_based_component_updater.py:431-524).
+
+    ``search="bracket"`` reproduces the reference's sequential bisection;
+    ``search="grid"`` (tpu.trust_region_search: grid) finds the stepsize with
+    two fully-batched grid passes — much lower latency on accelerators, same
+    trust-region semantics up to grid resolution.
+    """
     upd = jax.vmap(
-        partial(_tr_update_one, temperature=temperature, diagonal=model.diagonal)
+        partial(_tr_update_one, temperature=temperature,
+                diagonal=model.diagonal, search=search, grid_size=grid_size)
     )
     new_means, new_chols, successes, etas = upd(
         model.means, model.chols, model.inv_chols, meta.last_etas, stepsizes,

@@ -89,6 +89,8 @@ class GMMVI:
         prior_mean: Optional[np.ndarray] = None,
         prior_cov_diag: Optional[np.ndarray] = None,
         mesh: Optional[jax.sharding.Mesh] = None,
+        trust_region_search: str = "bracket",
+        trust_region_grid_size: int = 32,
     ):
         self.target_distribution = target_distribution
         self.state = initial_state
@@ -109,6 +111,8 @@ class GMMVI:
             None if prior_cov_diag is None else jnp.asarray(prior_cov_diag)
         )
         self.mesh = mesh
+        self.trust_region_search = trust_region_search
+        self.trust_region_grid_size = int(trust_region_grid_size)
 
         self.requires_gradients = estimator_type == "Stein"
 
@@ -235,9 +239,15 @@ class GMMVI:
             raise ValueError(f"unknown ng_estimator_type {self.estimator_type}")
 
         # 3. component update
+        updater_kwargs = dict(temperature=self.temperature)
+        if self.updater_type == "trust-region":
+            updater_kwargs.update(
+                search=self.trust_region_search,
+                grid_size=self.trust_region_grid_size,
+            )
         model, meta = upd_ops.UPDATERS[self.updater_type](
             model, meta, est.expected_hessians_neg, est.expected_gradients_neg,
-            meta.stepsizes, temperature=self.temperature,
+            meta.stepsizes, **updater_kwargs,
         )
 
         # 4. weight stepsize adaptation
@@ -470,4 +480,8 @@ class GMMVI:
             prior_mean=prior_mean,
             prior_cov_diag=prior_cov_diag,
             mesh=mesh,
+            trust_region_search=str(tpu_cfg.get("trust_region_search",
+                                                "bracket")),
+            trust_region_grid_size=int(tpu_cfg.get("trust_region_grid_size",
+                                                   32)),
         )
