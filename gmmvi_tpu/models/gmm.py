@@ -323,6 +323,24 @@ def sample_from_components(
     )
 
 
+def sample_from_components_shuffled(
+    state: GmmState, key, samples_per_component: int
+) -> jnp.ndarray:
+    """Fixed per-component draws, flattened and shuffled
+    (reference: gmm.py:340-359).  Only active components contribute; returns
+    ``[num_active * n, D]``-worth of valid rows followed by padding draws —
+    callers that need exact shapes should mask by ``num_active * n``."""
+    draw_key, perm_key = jax.random.split(key)
+    smp = sample_from_components(state, draw_key, samples_per_component)
+    kmax, n, d = smp.shape
+    flat = smp.reshape(-1, d)
+    valid = jnp.repeat(state.mask, n)
+    # stable sort: valid rows first, then shuffle within by random keys
+    rand = jax.random.uniform(perm_key, (kmax * n,))
+    order = jnp.argsort(jnp.where(valid, rand, 2.0), stable=True)
+    return flat[order]
+
+
 def sample(state: GmmState, key, num_samples: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Draw ``num_samples`` from the mixture; returns (samples, mapping).
 

@@ -24,6 +24,30 @@ def triu_indices(dim: int):
     return jnp.triu_indices(dim)
 
 
+def fit_linear(
+    regularizer: jnp.ndarray,
+    inputs: jnp.ndarray,   # [N, D]
+    outputs: jnp.ndarray,  # [N]
+    weights: jnp.ndarray = None,
+    mask: jnp.ndarray = None,
+) -> jnp.ndarray:
+    """Weighted ridge regression of a linear-plus-bias model; returns
+    ``[D + 1]`` coefficients (bias last, unregularized).
+    (reference: least_squares.py:79-90, LinFunc)"""
+    n, d = inputs.shape
+    feats = jnp.concatenate([inputs, jnp.ones((n, 1), inputs.dtype)], axis=1)
+    if weights is None:
+        weights = jnp.ones((n,), inputs.dtype)
+    if mask is not None:
+        weights = jnp.where(mask, weights, 0.0)
+    wf = weights[:, None] * feats
+    gram = jnp.einsum("nf,ng->fg", wf, feats, precision=_PREC)
+    rhs = jnp.einsum("nf,n->f", wf, outputs, precision=_PREC)
+    reg = regularizer * jnp.eye(d + 1, dtype=inputs.dtype)
+    reg = reg.at[d, d].set(0.0)
+    return jnp.linalg.solve(gram + reg, rhs)
+
+
 def quadratic_features(x: jnp.ndarray) -> jnp.ndarray:
     """Features [x_i x_j (i<=j), x, 1] of shape ``[N, D(D+1)/2 + D + 1]``.
 

@@ -345,6 +345,11 @@ class GMMVI:
         (reference: gmmvi.py:105-144).  ``model`` is a padded GmmState (see
         :func:`gmmvi_tpu.experiments.setup.construct_initial_mixture`)."""
         tpu_cfg = config.get("tpu", {}) or {}
+        if tpu_cfg.get("debug_nans"):
+            # numerical-sanitizer mode (SURVEY.md §5: optional NaN checks;
+            # note the trust-region search intentionally produces NaN
+            # choleskys as rejection signals, so this is for debugging only)
+            jax.config.update("jax_debug_nans", True)
         temperature = config["temperature"]
         kmax = model.max_components
         d = model.num_dimensions
