@@ -17,9 +17,17 @@ from gmmvi_tpu.models.meta import MetaState
 
 
 def get_target_lnpdf(experiment: str, environment_config: dict, seed: int) -> LNPDF:
-    """Environment-name registry (reference: setup_experiment.py:46-86)."""
+    """Environment-name registry (reference: setup_experiment.py:46-86).
+
+    Randomly-constructed targets (GMM / DIAGGMM / STM) are seeded with the
+    run seed (or an explicit ``environment_config.seed``) so that two builds
+    of the same config produce the *same* target — the reference achieves
+    this through global TF/numpy seeding (gmmvi_runner.py:38).
+    """
     environment_config = dict(environment_config or {})
-    environment_config.pop("seed", None)
+    target_seed = environment_config.pop("seed", seed)
+    if experiment in ("STM",) or experiment.startswith(("GMM", "DIAGGMM")):
+        environment_config["seed"] = target_seed
     if experiment == "breastCancer":
         from gmmvi_tpu.experiments.targets.logistic_regression import make_breast_cancer
         return make_breast_cancer()
