@@ -117,10 +117,12 @@ class GMMVI:
         self.requires_gradients = estimator_type == "Stein"
 
         if self.target_distribution.safe_for_jit:
-            self._jitted_step = jax.jit(self._full_step)
+            # donating the state lets XLA update the large ring buffers
+            # (sample DB, histories) in place instead of copying them
+            self._jitted_step = jax.jit(self._full_step, donate_argnums=0)
         else:
             self._jitted_propose = jax.jit(self._propose_phase)
-            self._jitted_update = jax.jit(self._update_phase)
+            self._jitted_update = jax.jit(self._update_phase, donate_argnums=0)
 
     # ------------------------------------------------------------------
     # Target evaluation
