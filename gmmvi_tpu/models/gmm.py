@@ -260,6 +260,28 @@ def density(state: GmmState, samples: jnp.ndarray) -> jnp.ndarray:
     return jnp.exp(log_density(state, samples))
 
 
+def component_log_density_and_grad(
+    state: GmmState, index, samples: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Log density and gradient of one component at the given samples
+    (reference: gmm.py:302-321).  grad = -Sigma_i^{-1}(x - mu_i), analytic."""
+    mu = state.means[index]
+    diffs = samples - mu[None, :]
+    if state.diagonal:
+        inv = state.inv_chols[index]
+        y = inv[None, :] * diffs
+        ptd = inv[None, :] * y
+        log_det = jnp.sum(jnp.log(state.chols[index]))
+    else:
+        inv = state.inv_chols[index]
+        y = jnp.einsum("ij,nj->ni", inv, diffs, precision=_PREC)
+        ptd = jnp.einsum("ji,nj->ni", inv, y, precision=_PREC)
+        log_det = jnp.sum(jnp.log(jnp.diag(state.chols[index])))
+    d = state.num_dimensions
+    ld = -0.5 * jnp.sum(jnp.square(y), axis=-1) - log_det - 0.5 * d * LOG_2PI
+    return ld, -ptd
+
+
 def marginal_log_density(state: GmmState, samples: jnp.ndarray, dim) -> jnp.ndarray:
     """1-D marginal mixture log density along ``dim``
     (reference: gmm.py:218-234, full_cov_gmm.py:49-54)."""

@@ -160,3 +160,18 @@ def test_full_state_is_jittable():
         return pack.model_log_densities.sum()
 
     assert np.isfinite(float(f(state, x)))
+
+
+def test_component_log_density_and_grad():
+    k, d = 3, 4
+    weights, means, covs = make_random_mixture(11, k, d)
+    state = G.create_gmm_state(weights, means, covs, max_components=k + 1)
+    x = jnp.asarray(np.random.RandomState(1).randn(6, d).astype(np.float32))
+    ld, grads = G.component_log_density_and_grad(state, 1, x)
+    want = stats.multivariate_normal.logpdf(np.asarray(x), means[1], covs[1])
+    np.testing.assert_allclose(np.asarray(ld), want, rtol=2e-4, atol=2e-4)
+    auto = jax.vmap(jax.grad(
+        lambda s: G.component_log_density_and_grad(state, 1, s[None])[0][0]
+    ))(x)
+    np.testing.assert_allclose(np.asarray(grads), np.asarray(auto), rtol=2e-3,
+                               atol=2e-3)
