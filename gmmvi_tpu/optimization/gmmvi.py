@@ -305,11 +305,27 @@ class GMMVI:
         if self.target_distribution.safe_for_jit:
             self.state = self._jitted_step(self.state)
             return
-        # host-target path: propose compiled, target eager, update compiled
+        # host-target path: propose compiled, target eager, update compiled.
+        # Only the valid rows of the statically-shaped proposal are evaluated
+        # (padded to a power-of-two bucket to bound target-side recompiles) —
+        # matching the reference's behavior of evaluating exactly the drawn
+        # samples, which matters for expensive targets (BNNs, simulators).
         state, prop = self._jitted_propose(self.state)
-        lnpdfs, grads = self._eval_target(prop.samples)
-        lnpdfs = jnp.asarray(lnpdfs, jnp.float32)
-        grads = jnp.asarray(grads, jnp.float32)
+        valid = np.asarray(prop.valid)
+        samples_np = np.asarray(prop.samples)
+        b, d = samples_np.shape
+        idx = np.flatnonzero(valid)
+        bucket = 1 << max(0, int(np.ceil(np.log2(max(len(idx), 1)))))
+        bucket = min(bucket, b)
+        padded_idx = np.zeros(bucket, np.int64)
+        padded_idx[: len(idx)] = idx
+        lnp_v, grads_v = self._eval_target(jnp.asarray(samples_np[padded_idx]))
+        lnpdfs = jnp.zeros((b,), jnp.float32).at[padded_idx].set(
+            jnp.asarray(lnp_v, jnp.float32)
+        )
+        grads = jnp.zeros((b, d), jnp.float32).at[padded_idx].set(
+            jnp.asarray(grads_v, jnp.float32)
+        )
 
         prior_samples = prior_lnpdfs = None
         if (
