@@ -41,3 +41,41 @@ def test_wine_bnn_trains():
     assert int(gmmvi.state.db.num_samples_written) <= 8 * 2 * 12
     # the mixture moved from the prior toward the posterior
     assert np.abs(means).max() > 1e-3
+
+
+import pytest
+
+
+@pytest.mark.slow
+def test_mnist_bnn_101k_dims_diagonal():
+    """The 101,770-dimensional MNIST BNN posterior runs end-to-end with
+    diagonal covariances (the regime the reference targets with BNN_MNIST)."""
+    from gmmvi_tpu.experiments.targets.bnn import make_MNIST_target
+
+    target = make_MNIST_target(likelihood_scaling=1.0, prior_std=1.0,
+                               batch_size=32)
+    assert target.get_num_dimensions() == 101770
+    cfg = get_default_algorithm_config("SEMTRON")
+    cfg = update_config(cfg, {
+        "start_seed": 0, "target_fn": target, "environment_name": "mnist",
+        "model_initialization": {
+            "use_diagonal_covs": True, "num_initial_components": 1,
+            "prior_mean": 0.0, "prior_scale": 1.0, "initial_cov": 1.0,
+        },
+        "use_sample_database": True, "max_database_size": 1000,
+        "temperature": 1.0,
+        "sample_selector_config": {"desired_samples_per_component": 4,
+                                   "ratio_reused_samples_to_desired": 0.0},
+        "component_stepsize_adapter_config": {
+            "initial_stepsize": 0.01, "min_stepsize": 0.001,
+            "max_stepsize": 0.1,
+        },
+        "gmmvi_runner_config": {"log_metrics_interval": 100},
+        "tpu": {"max_components": 1},
+    })
+    t, model, meta = init_experiment(cfg)
+    gmmvi = GMMVI.build_from_config(cfg, target, model, meta)
+    for _ in range(3):
+        gmmvi.train_iter()
+    m = np.asarray(gmmvi.state.model.means[0])
+    assert np.isfinite(m).all() and np.linalg.norm(m) > 0
