@@ -123,7 +123,7 @@ def algorithm_config(n_des, kmax):
     }
 
 
-def run_reference(stm, iters, n_des, kmax, seed=0):
+def run_reference(stm, iters, n_des, kmax, seed=0, k0=8):
     import tensorflow as tf
 
     tf.config.set_visible_devices([], "GPU")
@@ -176,7 +176,6 @@ def run_reference(stm, iters, n_des, kmax, seed=0):
     target = TFStudentT()
 
     rng = np.random.RandomState(seed)
-    k0 = 8
     w0 = np.ones(k0, np.float32) / k0
     mu0 = (rng.standard_normal((k0, d)) * 20.0).astype(np.float32)
     covs0 = np.tile((100.0 * np.eye(d, dtype=np.float32))[None], (k0, 1, 1))
