@@ -28,12 +28,21 @@ Python loops) — everything here is built TPU-first:
 
 __version__ = "0.1.0"
 
+from gmmvi_tpu import configs
+from gmmvi_tpu.experiments.setup import construct_initial_mixture, init_experiment
+from gmmvi_tpu.experiments.targets.lnpdf import LNPDF
 from gmmvi_tpu.models.gmm import GmmState, create_gmm_state
+from gmmvi_tpu.models.meta import MetaState
 from gmmvi_tpu.optimization.gmmvi import GMMVI, TrainState
 from gmmvi_tpu.runner import GmmviRunner
 
 __all__ = [
+    "configs",
+    "construct_initial_mixture",
+    "init_experiment",
+    "LNPDF",
     "GmmState",
+    "MetaState",
     "create_gmm_state",
     "GMMVI",
     "TrainState",
