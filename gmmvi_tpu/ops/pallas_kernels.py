@@ -50,58 +50,55 @@ def _plain_mixture_logpdf(means, inv_chols, log_weights, log_dets, samples):
     return jnp.where(s > 0, jnp.log(s) + mx_safe, NEG_INF)
 
 
-def _mixture_logpdf_kernel(means_ref, invchol_ref, logw_ref, logdet_ref,
-                           samples_ref, out_ref, *, k_tiles, d, d_pad):
-    """One grid step handles an N-tile; loops over K-tiles with a streaming
-    logsumexp accumulator held in registers/VMEM."""
+def _mixture_logpdf_kernel(logw_ref, logdet_ref, means_ref, invchol_ref,
+                           samples_ref, out_ref, *, k_total, d):
+    """One grid step handles an N-tile; streams over components with a
+    running (max, sum) logsumexp accumulator — no [K, N] logits materialize.
+
+    Mosaic constraints shape the code: dynamic indexing happens on *refs*
+    (never on loaded values), per-component weights/logdets are scalar reads
+    from SMEM, and the accumulator stays 2-D ``[N_TILE, 1]``.
+    """
     x = samples_ref[...]  # [N_TILE, D_pad]
     n_tile = x.shape[0]
+    big_neg = -3.0e38  # stand-in for -inf that survives arithmetic
 
-    def k_step(kt, carry):
-        run_max, run_sum = carry
-        mu = means_ref[pl.ds(kt * _K_TILE, _K_TILE), :]          # [Kt, D_pad]
-        logw = logw_ref[pl.ds(kt * _K_TILE, _K_TILE)]            # [Kt]
-        logdet = logdet_ref[pl.ds(kt * _K_TILE, _K_TILE)]        # [Kt]
-
-        def one_comp(i, acc):
-            maha_acc = acc
-            # y_i = L_i^{-1} (x - mu_i): [N_TILE, D_pad] @ [D_pad, D_pad]
-            ic = invchol_ref[kt * _K_TILE + i]                    # [D_pad, D_pad]
-            diff = x - mu[i][None, :]
-            y = jnp.dot(diff, ic.T, preferred_element_type=jnp.float32)
-            maha = jnp.sum(y * y, axis=1)                         # [N_TILE]
-            return maha_acc.at[:, i].set(maha)
-
-        maha_all = jax.lax.fori_loop(
-            0, _K_TILE, one_comp,
-            jnp.zeros((n_tile, _K_TILE), jnp.float32),
+    def one_comp(i, carry):
+        run_max, run_sum = carry  # [N_TILE, 1] each
+        ic = invchol_ref[i]                                   # [D_pad, D_pad]
+        mu_i = means_ref[pl.ds(i, 1), :]                      # [1, D_pad]
+        diff = x - mu_i
+        y = jax.lax.dot_general(
+            diff, ic.T, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,  # f32-true MXU passes
+            preferred_element_type=jnp.float32,
         )
-        logits = (
-            -0.5 * maha_all - logdet[None, :] - 0.5 * d * LOG_2PI
-            + logw[None, :]
-        )  # [N_TILE, Kt]
-        tile_max = jnp.max(logits, axis=1)
-        new_max = jnp.maximum(run_max, tile_max)
-        new_max_safe = jnp.where(jnp.isfinite(new_max), new_max, 0.0)
-        scale = jnp.where(
-            jnp.isfinite(run_max), jnp.exp(run_max - new_max_safe), 0.0
-        )
-        add = jnp.sum(
-            jnp.where(
-                jnp.isfinite(logits),
-                jnp.exp(logits - new_max_safe[:, None]), 0.0
-            ),
-            axis=1,
+        maha = jnp.sum(y * y, axis=1, keepdims=True)          # [N_TILE, 1]
+        logw_i = logw_ref[i]
+        logdet_i = logdet_ref[i]
+        logit = -0.5 * maha - logdet_i - 0.5 * d * LOG_2PI + logw_i
+        logit = jnp.maximum(logit, big_neg)  # masked comps: logw == -inf
+        # streaming logsumexp; masked components contribute exactly nothing:
+        # while nothing valid was seen, run_max == big_neg and add == 0, so
+        # scale == 1 keeps the (zero) sum; the first valid logit jumps the
+        # max and exp(big_neg - logit) underflows to 0.
+        new_max = jnp.maximum(run_max, logit)
+        scale = jnp.exp(run_max - new_max)
+        add = jnp.where(
+            logit > 0.5 * big_neg, jnp.exp(logit - new_max), 0.0
         )
         return new_max, run_sum * scale + add
 
     init = (
-        jnp.full((n_tile,), NEG_INF, jnp.float32),
-        jnp.zeros((n_tile,), jnp.float32),
+        jnp.full((n_tile, 1), big_neg, jnp.float32),
+        jnp.zeros((n_tile, 1), jnp.float32),
     )
-    run_max, run_sum = jax.lax.fori_loop(0, k_tiles, k_step, init)
-    run_max_safe = jnp.where(jnp.isfinite(run_max), run_max, 0.0)
-    out = jnp.where(run_sum > 0, jnp.log(run_sum) + run_max_safe, NEG_INF)
+    run_max, run_sum = jax.lax.fori_loop(0, k_total, one_comp, init)
+    out = jnp.where(
+        run_max > 0.5 * big_neg,
+        jnp.log(jnp.maximum(run_sum, 1e-38)) + run_max,
+        NEG_INF,
+    )
     out_ref[...] = out
 
 
@@ -123,26 +120,26 @@ def _fused_call(means, inv_chols, log_weights, log_dets, samples,
                 interpret=False):
     k, d_pad = means.shape
     n = samples.shape[0]
-    k_tiles = k // _K_TILE
     n_tiles = n // _N_TILE
 
     kernel = functools.partial(
-        _mixture_logpdf_kernel, k_tiles=k_tiles, d=int(d_pad), d_pad=d_pad
+        _mixture_logpdf_kernel, k_total=k, d=int(d_pad)
     )
+    smem = pltpu.SMEM if _HAVE_PALLAS else None
     return pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[
+            pl.BlockSpec(memory_space=smem),   # log_weights [K]
+            pl.BlockSpec(memory_space=smem),   # log_dets [K]
             pl.BlockSpec((k, d_pad), lambda i: (0, 0)),
             pl.BlockSpec((k, d_pad, d_pad), lambda i: (0, 0, 0)),
-            pl.BlockSpec((k,), lambda i: (0,)),
-            pl.BlockSpec((k,), lambda i: (0,)),
             pl.BlockSpec((_N_TILE, d_pad), lambda i: (i, 0)),
         ],
-        out_specs=pl.BlockSpec((_N_TILE,), lambda i: (i,)),
-        out_shape=jax.ShapeDtypeStruct((n,), jnp.float32),
+        out_specs=pl.BlockSpec((_N_TILE, 1), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, 1), jnp.float32),
         interpret=interpret,
-    )(means, inv_chols, log_weights, log_dets, samples)
+    )(log_weights, log_dets, means, inv_chols, samples)
 
 
 def fused_mixture_logpdf(means, inv_chols, log_weights, log_dets, samples,
@@ -160,9 +157,13 @@ def fused_mixture_logpdf(means, inv_chols, log_weights, log_dets, samples,
     """
     d = samples.shape[1]
     if use_pallas is None:
-        use_pallas = (
-            _HAVE_PALLAS and jax.default_backend() == "tpu"
-        )
+        # Measured on a v5e at the flagship shape (K=48, D=20, N~10k): the
+        # XLA batched-einsum path wins (0.46 ms vs 0.91 ms) — the streaming
+        # kernel's sequential per-component matmuls underutilize the MXU at
+        # small D.  The kernel is kept (compiles + runs on TPU) for regimes
+        # with very large K*N where the [K, N] logits traffic dominates;
+        # opt in explicitly with use_pallas=True.
+        use_pallas = False
     if not use_pallas and not interpret:
         return _plain_mixture_logpdf(means, inv_chols, log_weights, log_dets,
                                      samples)
@@ -187,4 +188,4 @@ def fused_mixture_logpdf(means, inv_chols, log_weights, log_dets, samples,
     out = _fused_call(means_p, inv_p, logw_p, logdet_p, samples_p,
                       interpret=interpret)
     correction = 0.5 * (d_pad - d) * LOG_2PI
-    return out[:n] + correction
+    return out[:n, 0] + correction
