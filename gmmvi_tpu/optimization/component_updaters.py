@@ -210,48 +210,99 @@ def _tr_kl_diag(eta, old_lin, old_prec, old_inv_chol, reward_lin, reward_quad,
     return kl, new_mean, inv_chol_p
 
 
+_SPECULATION_DEPTH = 1  # bisection steps resolved per while-loop trip
+
+
+def _spec_tree(lower, upper, depth):
+    """The next ``2**depth - 1`` candidate bisection midpoints in heap order.
+
+    Node 1 is the current midpoint; nodes 2j / 2j+1 are the midpoints the
+    search would evaluate next after moving the bracket down / up.  Built by
+    the same ``0.5 * (a + b)`` recursion as the sequential search so the
+    candidate values are bit-identical to the reference's midpoint sequence.
+    """
+    nodes = [0.5 * (lower + upper)]
+    bounds = [(lower, upper)]
+    # heap order: children of node j (0-based j-1) are 2j, 2j+1
+    for j in range(2 ** (depth - 1) - 1):
+        lo, hi = bounds[j]
+        m = nodes[j]
+        nodes.append(0.5 * (lo + m))
+        bounds.append((lo, m))
+        nodes.append(0.5 * (m + hi))
+        bounds.append((m, hi))
+    return jnp.stack(nodes)
+
+
 def _bracketing_search(kl_fn, kl_bound, lower0, upper0):
     """Log-space bracketing search for the largest stepsize satisfying the KL
     bound (reference: ng_based_component_updater.py:335-429).  Up to 1000
     iterations; stops when the bracket width (in eta space) is < 0.1 or
-    |KL - bound| < 0.1 * bound (then lower = upper = eta)."""
+    |KL - bound| < 0.1 * bound (then lower = upper = eta).
+
+    TPU-native speculative bisection: each while-loop trip batch-evaluates the
+    full depth-``_SPECULATION_DEPTH`` tree of upcoming midpoints in ONE
+    batched KL evaluation (one batched Cholesky instead of one per step) and
+    then resolves that many bisection steps with scalar logic.  The visited
+    eta sequence, bracket updates, and stopping decisions are exactly those
+    of the sequential reference search — speculation only removes sequential
+    latency, not semantics.
+    """
+    s_depth = _SPECULATION_DEPTH
 
     def cond(carry):
-        _, _, _, _, done, it = carry
+        _, _, _, done, it = carry
         return jnp.logical_and(jnp.logical_not(done), it < 1000)
 
     def body(carry):
-        lower, upper, eta, upper_ok, done, it = carry
-        diff = jnp.minimum(
-            jnp.exp(upper) - jnp.exp(eta), jnp.exp(eta) - jnp.exp(lower)
-        )
-        stop_width = diff < 1e-1
+        lower, upper, upper_ok, done, it = carry
+        etas_log = _spec_tree(lower, upper, s_depth)
+        if s_depth == 1:
+            kls = kl_fn(jnp.exp(etas_log[0]))[0][None]
+        else:
+            kls = jax.vmap(lambda e: kl_fn(jnp.exp(e))[0])(etas_log)
 
-        kl = kl_fn(jnp.exp(eta))[0]
-        good = jnp.abs(kl_bound - kl) < 1e-1 * kl_bound
+        j = jnp.asarray(1, jnp.int32)  # heap index of the current midpoint
+        for _ in range(s_depth):
+            active = jnp.logical_and(jnp.logical_not(done), it < 1000)
+            eta = etas_log[j - 1]
+            kl = kls[j - 1]
+            # reference order: width-stop checked before evaluating KL
+            diff = jnp.minimum(
+                jnp.exp(upper) - jnp.exp(eta), jnp.exp(eta) - jnp.exp(lower)
+            )
+            stop_width = diff < 1e-1
+            good = jnp.abs(kl_bound - kl) < 1e-1 * kl_bound
+            go_low = kl_bound > kl  # KL below bound -> decrease eta
 
-        # reference order: width-stop checked before evaluating KL
-        new_lower = jnp.where(
-            stop_width, lower, jnp.where(good, upper, jnp.where(kl_bound > kl, lower, eta))
-        )
-        new_upper = jnp.where(
-            stop_width, upper, jnp.where(good, upper, jnp.where(kl_bound > kl, eta, upper))
-        )
-        # "found good eta" sets lower = upper = eta
-        new_lower = jnp.where(jnp.logical_and(~stop_width, good), eta, new_lower)
-        new_upper = jnp.where(jnp.logical_and(~stop_width, good), eta, new_upper)
-        new_upper_ok = jnp.where(
-            jnp.logical_and(~stop_width, ~good),
-            jnp.logical_or(upper_ok, kl_bound > kl),
-            upper_ok,
-        )
-        new_eta = 0.5 * (new_upper + new_lower)
-        new_done = jnp.logical_or(stop_width, good)
-        return new_lower, new_upper, new_eta, new_upper_ok, new_done, it + 1
+            new_lower = jnp.where(
+                stop_width, lower,
+                jnp.where(good, eta, jnp.where(go_low, lower, eta)),
+            )
+            new_upper = jnp.where(
+                stop_width, upper,
+                jnp.where(good, eta, jnp.where(go_low, eta, upper)),
+            )
+            new_upper_ok = jnp.where(
+                jnp.logical_and(~stop_width, ~good),
+                jnp.logical_or(upper_ok, go_low),
+                upper_ok,
+            )
+            new_done = jnp.logical_or(stop_width, good)
+            new_j = jnp.where(go_low, 2 * j, 2 * j + 1)
 
-    eta0 = 0.5 * (lower0 + upper0)
-    lower, upper, _, upper_ok, _, _ = jax.lax.while_loop(
-        cond, body, (lower0, upper0, eta0, False, False, 0)
+            lower = jnp.where(active, new_lower, lower)
+            upper = jnp.where(active, new_upper, upper)
+            upper_ok = jnp.where(active, new_upper_ok, upper_ok)
+            done = jnp.where(active, new_done, done)
+            j = jnp.where(active, new_j, j)
+            it = jnp.where(active, it + 1, it)
+        return lower, upper, upper_ok, done, it
+
+    lower, upper, upper_ok, _, _ = jax.lax.while_loop(
+        cond, body,
+        (lower0, upper0, jnp.asarray(False), jnp.asarray(False),
+         jnp.asarray(0, jnp.int32)),
     )
     # if the search didn't converge but the upper bound satisfies the
     # constraint, use it (ng_based_component_updater.py:421-424)

@@ -120,6 +120,7 @@ class GMMVI:
             # donating the state lets XLA update the large ring buffers
             # (sample DB, histories) in place instead of copying them
             self._jitted_step = jax.jit(self._full_step, donate_argnums=0)
+            self._multi_step_cache: dict = {}
         else:
             self._jitted_propose = jax.jit(self._propose_phase)
             self._jitted_update = jax.jit(self._update_phase, donate_argnums=0)
@@ -179,7 +180,7 @@ class GMMVI:
         key, k_db, k_adapt = jax.random.split(state.key, 3)
         iteration = state.num_updates
 
-        db, window = sel_ops.finalize(
+        db, window, pack = sel_ops.finalize_fused(
             state.model, state.db, self.selector_cfg, iteration, prop,
             lnpdfs, grads, k_db,
         )
@@ -189,7 +190,7 @@ class GMMVI:
         )
 
         model, meta, wstep = self._run_updates(state.model, state.meta,
-                                               state.wstep, window)
+                                               state.wstep, window, pack)
         num_updates = state.num_updates + 1
 
         adapt = state.adapt
@@ -205,9 +206,15 @@ class GMMVI:
         )
 
     def _run_updates(self, model: GmmState, meta: MetaState,
-                     wstep: WeightStepsizeState, window):
+                     wstep: WeightStepsizeState, window, pack=None):
         """Component + weight updates on the selected sample window
-        (reference: gmmvi.py:163-174, same ordering)."""
+        (reference: gmmvi.py:163-174, same ordering).
+
+        ``pack`` is the fused current-model density pass over the window
+        (shared with the background computation); the weight update cannot
+        reuse it because the reference evaluates log-ratios under the
+        *updated* components (gmmvi.py:170-173 runs update_weights after
+        apply_NG_update)."""
         # 1. component stepsize adaptation
         new_stepsizes = step_ops.COMPONENT_STEPSIZE_ADAPTERS[
             self.component_stepsize_type
@@ -226,6 +233,7 @@ class GMMVI:
                     "use_self_normalized_importance_weights"
                 ],
                 only_use_own_samples=self.estimator_cfg["only_use_own_samples"],
+                pack=pack,
             )
         elif self.estimator_type == "MORE":
             est = est_ops.more_estimate(
@@ -236,6 +244,7 @@ class GMMVI:
                     "use_self_normalized_importance_weights"
                 ],
                 only_use_own_samples=self.estimator_cfg["only_use_own_samples"],
+                pack=pack,
             )
         else:
             raise ValueError(f"unknown ng_estimator_type {self.estimator_type}")
@@ -342,6 +351,29 @@ class GMMVI:
         self.state = self._jitted_update(
             state, prop, lnpdfs, grads, prior_samples, prior_lnpdfs
         )
+
+    def train_iters(self, n: int) -> None:
+        """Advance ``n`` iterations in ONE device dispatch (jit-safe targets):
+        a ``lax.scan`` over the full training step.
+
+        TPU-idiomatic batched stepping: per-call dispatch latency (host Python
+        + runtime enqueue — ~ms through a remote-device tunnel) is amortized
+        over ``n`` steps, so the chip runs back-to-back iterations.  Host
+        targets fall back to the per-iteration two-phase path."""
+        if not self.target_distribution.safe_for_jit:
+            for _ in range(n):
+                self.train_iter()
+            return
+        fn = self._multi_step_cache.get(n)
+        if fn is None:
+            def multi(state):
+                def body(s, _):
+                    return self._full_step(s), None
+                return jax.lax.scan(body, state, None, length=n)[0]
+
+            fn = jax.jit(multi, donate_argnums=0)
+            self._multi_step_cache[n] = fn
+        self.state = fn(self.state)
 
     @property
     def model(self) -> GmmState:

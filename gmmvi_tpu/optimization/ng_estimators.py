@@ -62,6 +62,7 @@ def stein_estimate(
     target_grads: jnp.ndarray,     # [N, D]
     use_self_normalized_importance_weights: bool = True,
     only_use_own_samples: bool = False,
+    pack=None,
 ) -> NgEstimate:
     """First-order estimator via Stein's lemma (reference: ng_estimator.py:123-263).
 
@@ -69,8 +70,13 @@ def stein_estimate(
     E[hess]  ~= sum_n w_n Sigma^{-1}(x_n - mu) g_n^T   (self-normalized path
     symmetrizes; standard-IW path does not — mirrored from
     ng_estimator.py:154-188).
+
+    ``pack`` is an optional precomputed :class:`DensityPack` over ``samples``
+    (the fused once-per-step density pass, shared with the background
+    computation); computed here when absent.
     """
-    pack = density_pack(model, samples)
+    if pack is None:
+        pack = density_pack(model, samples)
     log_ratio_grads = target_grads - pack.model_grads            # [N, D]
     ptd = pack.prec_times_diff                                    # [Kmax, N, D]
 
@@ -122,6 +128,7 @@ def more_estimate(
     l2_regularizers: jnp.ndarray,  # [Kmax]
     use_self_normalized_importance_weights: bool = True,
     only_use_own_samples: bool = False,
+    pack=None,
 ) -> NgEstimate:
     """Zero-order estimator via a quadratic compatible surrogate
     (reference: ng_estimator.py:266-376): fit R~(x) = x^T Q x + x^T r + r0 by
@@ -130,7 +137,12 @@ def more_estimate(
     """
     from gmmvi_tpu.models.gmm import log_densities_also_individual
 
-    model_densities, comp_log_densities = log_densities_also_individual(model, samples)
+    if pack is None:
+        model_densities, comp_log_densities = log_densities_also_individual(
+            model, samples)
+    else:
+        model_densities = pack.model_log_densities
+        comp_log_densities = pack.component_log_densities
     log_ratios = target_lnpdfs - model_densities
 
     own_mask = None

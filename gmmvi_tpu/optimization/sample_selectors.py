@@ -166,6 +166,26 @@ def finalize(
     """Pass 2: store evaluated fresh samples, re-query the combined window so
     the background densities include them
     (reference: sample_selector.py:204-219 / 327-339)."""
+    db, win, _ = finalize_fused(
+        model, db, cfg, iteration, proposal, target_lnpdfs, target_grads, key
+    )
+    return db, win
+
+
+def finalize_fused(
+    model: GmmState,
+    db: SampleDbState,
+    cfg: SelectorConfig,
+    iteration: jnp.ndarray,
+    proposal: Proposal,
+    target_lnpdfs: jnp.ndarray,
+    target_grads: jnp.ndarray,
+    key: jnp.ndarray,
+):
+    """Like :func:`finalize`, but also returns the current-model
+    :class:`~gmmvi_tpu.models.gmm.DensityPack` over the window — the single
+    fused density pass shared between the background mixture and the
+    natural-gradient estimator (one pass per step instead of three)."""
     db = db_ops.add_samples(
         db, iteration, model,
         proposal.samples, proposal.valid, proposal.mapping,
@@ -173,7 +193,9 @@ def finalize(
     )
     n_new = jnp.sum(proposal.valid.astype(jnp.int32))
     w_total = total_window_size(cfg, model.max_components)
-    win = db_ops.get_newest_samples(
-        db, w_total, proposal.num_reused + n_new, cfg.max_background_dists
+    win, pack = db_ops.get_newest_samples_fused(
+        db, w_total, proposal.num_reused + n_new, cfg.max_background_dists,
+        model, iteration,
+        any_old_dists=cfg.reused_samples_per_component > 0,
     )
-    return db, win
+    return db, win, pack
