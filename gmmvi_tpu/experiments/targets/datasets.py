@@ -5,11 +5,16 @@ The reference bundles UCI data files with its package
 resolve datasets from, in order:
 
 1. an explicit path in the ``GMMVI_DATASETS`` environment variable,
-2. this package's ``datasets/`` directory (drop files in to use them),
+2. this package's ``datasets/`` directory (UCI breast-cancer / german-credit
+   and the wine splits ship with the package, same files the reference
+   bundles),
 3. scikit-learn's bundled copy (breast cancer only — the identical UCI WDBC
-   data),
-4. a deterministic synthetic stand-in with identical shapes (clearly flagged),
-   so everything stays runnable in hermetic environments.
+   data).
+
+A missing dataset raises a clear error.  Setting ``GMMVI_ALLOW_SYNTHETIC=1``
+instead substitutes a deterministic synthetic stand-in with identical shapes
+(clearly flagged) so hermetic environments stay runnable — but such runs are
+NOT reproductions of the reference experiments.
 """
 from __future__ import annotations
 
@@ -37,6 +42,19 @@ def _find(filename: str) -> Optional[Path]:
     return None
 
 
+def _missing(name: str, filename: str) -> None:
+    """Raise unless synthetic stand-ins are explicitly allowed."""
+    if os.environ.get("GMMVI_ALLOW_SYNTHETIC") == "1":
+        warnings.warn(f"{name} dataset unavailable; using synthetic stand-in")
+        return
+    raise FileNotFoundError(
+        f"{name} dataset not found: place '{filename}' under "
+        f"{_PKG_DATA} or a directory named by GMMVI_DATASETS, or set "
+        f"GMMVI_ALLOW_SYNTHETIC=1 to run on a synthetic stand-in "
+        f"(NOT a reproduction of the reference experiment)."
+    )
+
+
 def load_breast_cancer() -> Tuple[np.ndarray, np.ndarray]:
     """UCI WDBC: (X [569, 30], labels [569]); labels 0 = malignant.
 
@@ -55,7 +73,7 @@ def load_breast_cancer() -> Tuple[np.ndarray, np.ndarray]:
         return ds.data.astype(np.float64), ds.target.astype(np.float64)
     except Exception:
         pass
-    warnings.warn("breast_cancer dataset unavailable; using synthetic stand-in")
+    _missing("breast_cancer", "breast_cancer.data")
     return _synthetic_classification(569, 30, seed=0)
 
 
@@ -69,7 +87,7 @@ def load_german_credit() -> Tuple[np.ndarray, np.ndarray]:
     if p is not None:
         data = np.loadtxt(str(p))
         return data[:, :-1], data[:, -1] - 1
-    warnings.warn("german_credit dataset unavailable; using synthetic stand-in")
+    _missing("german_credit", "german.data-numeric")
     return _synthetic_classification(1000, 24, seed=1)
 
 
@@ -85,7 +103,7 @@ def load_wine_split(dataset_seed: int):
     if p is not None:
         d = np.load(str(p))
         return {k: np.asarray(d[k]) for k in d.files}
-    warnings.warn("wine dataset unavailable; using synthetic stand-in")
+    _missing("wine", fname)
     rng = np.random.RandomState(1234 + dataset_seed % 10)
     n, f = 4898, 11
     x = rng.standard_normal((n, f))
@@ -112,7 +130,7 @@ def load_mnist():
     if p is not None:
         d = np.load(str(p))
         return d["train_x"], d["train_y"], d["test_x"], d["test_y"]
-    warnings.warn("mnist dataset unavailable; using synthetic stand-in")
+    _missing("mnist", "mnist.npz")
     rng = np.random.RandomState(42)
     n_tr, n_te = 6000, 1000
     x_tr = rng.random((n_tr, 784)).astype(np.float32)

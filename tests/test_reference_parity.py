@@ -220,3 +220,24 @@ def test_logistic_regression_parity():
     ref_ld = ref.log_density(tf.constant(theta)).numpy()
     got_ld = np.asarray(ours.log_density(jnp.asarray(theta)))
     np.testing.assert_allclose(got_ld, ref_ld, rtol=1e-4, atol=1e-3)
+
+
+def test_german_credit_parity():
+    """German-credit posterior density matches the reference on the bundled
+    UCI german.data-numeric file (reference: logistic_regression.py:36-68)."""
+    from gmmvi.experiments.target_distributions.logistic_regression import (
+        make_german_credit as ref_make,
+    )
+
+    from gmmvi_tpu.experiments.targets.logistic_regression import (
+        make_german_credit,
+    )
+
+    ref = ref_make()
+    ours = make_german_credit()
+    assert ref.get_num_dimensions() == ours.get_num_dimensions() == 25
+    rng = np.random.RandomState(5)
+    theta = (rng.randn(6, ours.get_num_dimensions()) * 0.1).astype(np.float32)
+    ref_ld = ref.log_density(tf.constant(theta)).numpy()
+    got_ld = np.asarray(ours.log_density(jnp.asarray(theta)))
+    np.testing.assert_allclose(got_ld, ref_ld, rtol=1e-4, atol=1e-3)
