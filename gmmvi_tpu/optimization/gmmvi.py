@@ -91,6 +91,7 @@ class GMMVI:
         mesh: Optional[jax.sharding.Mesh] = None,
         trust_region_search: str = "bracket",
         trust_region_grid_size: int = 32,
+        compact_target_eval: str = "auto",
     ):
         self.target_distribution = target_distribution
         self.state = initial_state
@@ -115,6 +116,38 @@ class GMMVI:
         self.trust_region_grid_size = int(trust_region_grid_size)
 
         self.requires_gradients = estimator_type == "Stein"
+
+        # Bucketed target evaluation for the jit-safe VIPS path: with sample
+        # reuse, steady state needs only max(1, n_des - n_eff) fresh samples
+        # per component — close to K valid rows out of the static
+        # [Kmax * n_des] proposal.  Rather than evaluate the target on every
+        # padded row (the round-1 inefficiency), the step compacts valid rows
+        # to the front and lax.switches between a power-of-two ladder of
+        # statically-shaped target evaluations, so the target processes at
+        # most 2x the valid rows.  (The reference evaluates exactly the drawn
+        # samples, sample_selector.py:199-204.)
+        self._eval_buckets = None
+        if compact_target_eval == "on":
+            enabled = True
+        elif compact_target_eval == "off":
+            enabled = False
+        else:  # "auto": only where padding waste occurs in steady state
+            enabled = (
+                selector_cfg.is_vips
+                and selector_cfg.reused_samples_per_component > 0
+            )
+        if enabled and self.target_distribution.safe_for_jit \
+                and selector_cfg.is_vips:
+            kmax = initial_state.model.max_components
+            batch = kmax * selector_cfg.desired_samples_per_component
+            ladder = []
+            sz = batch
+            while sz >= max(kmax, batch // 64) and sz > 0:
+                ladder.append(sz)
+                sz //= 2
+            self._eval_buckets = tuple(sorted(set(ladder)))
+            if len(self._eval_buckets) < 2:
+                self._eval_buckets = None
 
         if self.target_distribution.safe_for_jit:
             # donating the state lets XLA update the large ring buffers
@@ -144,6 +177,42 @@ class GMMVI:
             lnpdfs = target.log_density(samples)
             grads = jnp.zeros_like(samples)
         return lnpdfs, grads
+
+    def _eval_target_bucketed(self, samples: jnp.ndarray, valid: jnp.ndarray):
+        """Evaluate the target on (roughly) only the valid proposal rows.
+
+        Compacts valid rows to the front (stable argsort keeps their order)
+        and dispatches via ``lax.switch`` to the smallest power-of-two bucket
+        holding them; results are scattered back to their original rows.
+        Invalid rows receive zeros — every downstream consumer masks by
+        validity, and the sample DB only stores valid rows.
+        """
+        if self._eval_buckets is None:
+            return self._eval_target(samples)
+        b, d = samples.shape
+        order = jnp.argsort(jnp.logical_not(valid), stable=True)
+        n_valid = jnp.sum(valid.astype(jnp.int32))
+        sorted_samples = samples[order]
+
+        def make_branch(size):
+            def branch(_):
+                ld, g = self._eval_target(
+                    self._shard_batch(sorted_samples[:size])
+                )
+                rows = order[:size]
+                ld_full = jnp.zeros((b,), jnp.float32).at[rows].set(
+                    ld.astype(jnp.float32))
+                g_full = jnp.zeros((b, d), jnp.float32).at[rows].set(
+                    g.astype(jnp.float32))
+                return ld_full, g_full
+            return branch
+
+        buckets = jnp.asarray(self._eval_buckets, jnp.int32)
+        idx = jnp.searchsorted(buckets, n_valid, side="left")
+        idx = jnp.minimum(idx, len(self._eval_buckets) - 1)
+        return jax.lax.switch(
+            idx, [make_branch(s) for s in self._eval_buckets], None
+        )
 
     # ------------------------------------------------------------------
     # Phases
@@ -290,7 +359,7 @@ class GMMVI:
     def _full_step(self, state: TrainState) -> TrainState:
         """Whole iteration as one compiled program (jit-safe targets)."""
         state, prop = self._propose_phase(state)
-        lnpdfs, grads = self._eval_target(prop.samples)
+        lnpdfs, grads = self._eval_target_bucketed(prop.samples, prop.valid)
 
         prior_samples = prior_lnpdfs = None
         if (
@@ -539,4 +608,6 @@ class GMMVI:
                                                 "bracket")),
             trust_region_grid_size=int(tpu_cfg.get("trust_region_grid_size",
                                                    32)),
+            compact_target_eval=str(tpu_cfg.get("compact_target_eval",
+                                                "auto")),
         )

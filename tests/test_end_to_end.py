@@ -157,3 +157,35 @@ def test_runner_on_host_target():
     w = np.asarray(gmmvi.state.model.weights[: int(gmmvi.state.model.num_active)])
     mix_mean = (w[:, None] * means).sum(0)
     np.testing.assert_allclose(mix_mean, [1.0, 1.0], atol=0.3)
+
+
+def test_bucketed_target_eval_matches_full():
+    """Compact-then-evaluate (tpu.compact_target_eval) must not change the
+    trajectory: only padded-row work is skipped, never valid-row values
+    (the reference evaluates exactly the drawn samples,
+    sample_selector.py:199-204)."""
+    target = make_simple_target()
+
+    def build(mode):
+        cfg = _base_config("SAMTRON", target, n_des=24, ratio=2.0, kmax=8,
+                           k0=3, seed=3)
+        cfg = update_config(cfg, {"tpu": {"compact_target_eval": mode}})
+        t, model, meta = init_experiment(cfg)
+        return GMMVI.build_from_config(cfg, target, model, meta)
+
+    g_on, g_off = build("on"), build("off")
+    assert g_on._eval_buckets is not None and len(g_on._eval_buckets) >= 2
+    assert g_off._eval_buckets is None
+    # covers both regimes: early iters (all rows valid -> full bucket) and
+    # steady state under reuse (few valid rows -> small bucket)
+    for _ in range(12):
+        g_on.train_iter()
+        g_off.train_iter()
+    np.testing.assert_allclose(
+        np.asarray(g_on.state.model.means), np.asarray(g_off.state.model.means),
+        rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(g_on.state.model.log_weights),
+        np.asarray(g_off.state.model.log_weights), rtol=1e-6, atol=1e-6)
+    assert int(g_on.state.db.num_samples_written) == int(
+        g_off.state.db.num_samples_written)
