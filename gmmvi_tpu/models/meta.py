@@ -151,3 +151,32 @@ def remove_components_meta(meta: MetaState, order: jnp.ndarray) -> MetaState:
         adding_thresholds=meta.adding_thresholds[order],
         initial_entropies=meta.initial_entropies[order],
     )
+
+
+def repad_meta(meta: MetaState, new_max_components: int) -> MetaState:
+    """Grow the padded capacity (host-side; companion of
+    :func:`gmmvi_tpu.models.gmm.repad`).  New slots carry the same init
+    values :func:`create_meta_state` uses; ids are assigned on add."""
+    kmax, h = meta.max_components, meta.history_length
+    extra = new_max_components - kmax
+    if extra <= 0:
+        return meta
+
+    def pad1(arr, value, dtype=jnp.float32):
+        return jnp.concatenate([arr, jnp.full((extra,), value, dtype)])
+
+    return meta.replace(
+        l2_regularizers=pad1(meta.l2_regularizers, meta.initial_regularizer),
+        last_etas=pad1(meta.last_etas, -1.0),
+        num_received_updates=pad1(meta.num_received_updates, 0.0),
+        stepsizes=pad1(meta.stepsizes, meta.initial_stepsize),
+        reward_history=jnp.concatenate(
+            [meta.reward_history, jnp.full((extra, h), F32_MIN, jnp.float32)]
+        ),
+        weight_history=jnp.concatenate(
+            [meta.weight_history, jnp.full((extra, h), F32_MIN, jnp.float32)]
+        ),
+        unique_component_ids=pad1(meta.unique_component_ids, -1, jnp.int32),
+        adding_thresholds=pad1(meta.adding_thresholds, -1.0),
+        initial_entropies=pad1(meta.initial_entropies, 0.0),
+    )

@@ -335,10 +335,62 @@ def _tr_grid_search(kl_fn, kl_bound, lower0, upper0, grid_size):
     return jnp.exp(eta_log), any1
 
 
+def _tr_eigen_precompute(old_mean, old_chol, reward_lin, reward_quad):
+    """Spectral reparameterization of the KL along the trust-region path.
+
+    With ``L = chol(cov_old)`` and the whitened curvature
+    ``R~ = L^T R L = U diag(lam) U^T``, every quantity the bisection needs
+    becomes elementwise in the eigenbasis:
+
+        new_prec(eta) = L^{-T} U diag(1 + lam/eta) U^T L^{-1}
+        KL(eta) = 0.5 [ sum log1p(lam/eta) - sum lam/(eta+lam)
+                        + sum ((lam*c - b)/(eta+lam))^2 ]
+
+    with ``c = U^T L^{-1} mu_old`` and ``b = U^T L^T reward_lin``.  One
+    batched eigh per component per step replaces a Cholesky + two
+    triangular solves *per bisection trip* — the search loop becomes pure
+    [D]-elementwise math, which matters because under vmap the while_loop
+    runs to the slowest component's trip count (cold-started brackets span
+    log-eta [-20, 80], ~100 trips).  Mathematically identical to the
+    reference's KL (ng_based_component_updater.py:299-333) up to float
+    rounding."""
+    rw = jnp.einsum("ji,jk,kl->il", old_chol, reward_quad, old_chol,
+                    precision=_PREC)
+    rw = 0.5 * (rw + rw.T)
+    lam, u = jnp.linalg.eigh(rw)
+    zm = jax.scipy.linalg.solve_triangular(old_chol, old_mean, lower=True)
+    c = jnp.einsum("ji,j->i", u, zm, precision=_PREC)
+    b = jnp.einsum("ji,j->i", u, jnp.einsum(
+        "ji,j->i", old_chol, reward_lin, precision=_PREC), precision=_PREC)
+    return lam, u, c, b
+
+
+def _tr_kl_eigen(eta, lam, c, b):
+    """KL(eta) in the eigenbasis; F32_MAX when the interpolated precision is
+    not positive definite (the cholesky-NaN rejection signal of the
+    reference, ng_based_component_updater.py:488-497)."""
+    denom = eta + lam
+    bad = jnp.logical_not(jnp.all(denom > 0.0))
+    safe = jnp.where(bad, jnp.ones_like(denom), denom)
+    lam_safe = jnp.where(bad, jnp.zeros_like(lam), lam)
+    kl = 0.5 * (
+        jnp.sum(jnp.log1p(lam_safe / eta))
+        - jnp.sum(lam_safe / safe)
+        + jnp.sum(jnp.square((lam_safe * c - b) / safe))
+    )
+    return jnp.where(bad, F32_MAX, kl)
+
+
 def _tr_update_one(old_mean, old_chol, old_inv_chol, last_eta, eps, hneg, gneg,
                    temperature, diagonal, search="bracket", grid_size=32):
     """Trust-region update for one component
-    (reference: ng_based_component_updater.py:439-511)."""
+    (reference: ng_based_component_updater.py:439-511).
+
+    ``search="bracket"`` follows the reference's bisection exactly; for
+    full covariances the KL is evaluated in the spectral parameterization
+    (:func:`_tr_eigen_precompute`).  ``search="bracket-chol"`` keeps the
+    direct Cholesky-based KL for comparison; ``search="grid"`` is the
+    batched two-level grid alternative."""
     d = old_mean.shape[0]
     reward_quad = hneg
     if diagonal:
@@ -369,6 +421,38 @@ def _tr_update_one(old_mean, old_chol, old_inv_chol, last_eta, eps, hneg, gneg,
     no_warm = last_eta < 0
     lower0 = jnp.where(no_warm, -20.0, jnp.maximum(0.0, jnp.log(jnp.abs(last_eta) + 1e-30) - 3.0))
     upper0 = jnp.where(no_warm, 80.0, jnp.log(jnp.abs(last_eta) + 1e-30) + 3.0)
+
+    if search == "bracket" and not diagonal:
+        # spectral path: the bisection evaluates elementwise KL only
+        lam, u, cvec, bvec = _tr_eigen_precompute(
+            old_mean, old_chol, reward_lin, reward_quad
+        )
+        exp_lower, exp_upper = _bracketing_search(
+            lambda e: (_tr_kl_eigen(e, lam, cvec, bvec),), eps, lower0, upper0
+        )
+        eta = jnp.maximum(exp_lower, temperature)  # (reference line 476)
+        success = exp_lower == exp_upper
+
+        kl = _tr_kl_eigen(eta, lam, cvec, bvec)
+        denom = eta + lam
+        pd_ok = jnp.all(denom > 0.0)
+        safe = jnp.where(pd_ok, denom, jnp.ones_like(denom))
+        m_tilde = (eta * cvec + bvec) / safe
+        new_mean = jnp.einsum("ij,j->i", old_chol,
+                              jnp.einsum("ij,j->i", u, m_tilde,
+                                         precision=_PREC), precision=_PREC)
+        # new_cov = (L U) diag(eta/denom) (L U)^T
+        half = jnp.einsum("ij,jk->ik", old_chol, u, precision=_PREC) \
+            * jnp.sqrt(jnp.maximum(eta / safe, 0.0))[None, :]
+        new_cov = jnp.einsum("ij,kj->ik", half, half, precision=_PREC)
+        new_chol = jnp.linalg.cholesky(new_cov)
+        chol_ok = pd_ok & jnp.logical_not(jnp.any(jnp.isnan(new_chol)))
+        success = success & (kl < F32_MAX) & chol_ok
+
+        new_mean = jnp.where(success, new_mean, old_mean)
+        new_chol = jnp.where(success, new_chol, old_chol)
+        eta_out = jnp.where(success, eta, -1.0)
+        return new_mean, new_chol, success, eta_out
 
     if search == "grid":
         eta0, success = _tr_grid_search(

@@ -114,6 +114,7 @@ class GMMVI:
         self.mesh = mesh
         self.trust_region_search = trust_region_search
         self.trust_region_grid_size = int(trust_region_grid_size)
+        self._steps_to_capacity_check = 1
 
         self.requires_gradients = estimator_type == "Stein"
 
@@ -376,10 +377,71 @@ class GMMVI:
                                   prior_samples, prior_lnpdfs)
 
     # ------------------------------------------------------------------
+    # Capacity growth (VIPS can outgrow the initial padding)
+    # ------------------------------------------------------------------
+    def grow_capacity(self, new_max_components: int) -> None:
+        """Grow the padded component capacity of the whole TrainState.
+
+        The reference grows its variables unboundedly (gmm_wrapper.py:90-127);
+        here capacity is static inside the compiled step, so growth happens
+        host-side between steps — one recompile per growth event.  Window
+        contents, meta-state, and feval accounting are preserved exactly.
+        """
+        state = self.state
+        kmax = state.model.max_components
+        if new_max_components <= kmax:
+            return
+        model = gmm_ops.repad(state.model, new_max_components)
+        meta = meta_ops.repad_meta(state.meta, new_max_components)
+        new_cap = sel_ops.total_window_size(self.selector_cfg,
+                                            new_max_components)
+        db = db_ops.repad_db(state.db, new_max_components, new_cap)
+        self.state = TrainState(
+            model=model, meta=meta, db=db, wstep=state.wstep,
+            adapt=state.adapt, num_updates=state.num_updates, key=state.key,
+        )
+        # shape-keyed jit caches recompile themselves; rebuild derived sizes
+        if self._eval_buckets is not None:
+            batch = (new_max_components
+                     * self.selector_cfg.desired_samples_per_component)
+            ladder, sz = [], batch
+            while sz >= max(new_max_components, batch // 64) and sz > 0:
+                ladder.append(sz)
+                sz //= 2
+            self._eval_buckets = tuple(sorted(set(ladder)))
+        if hasattr(self, "_multi_step_cache"):
+            self._multi_step_cache.clear()
+
+    def _maybe_grow(self) -> None:
+        """Auto-repad: when VIPS has filled the padding but its configured
+        ``max_components`` still has headroom, grow (loudly) instead of
+        letting ``add_component`` silently no-op."""
+        cfg = self.vips_cfg
+        kmax = self.state.model.max_components
+        if cfg is None or kmax >= cfg.max_components:
+            return
+        self._steps_to_capacity_check -= 1
+        if self._steps_to_capacity_check > 0:
+            return
+        self._steps_to_capacity_check = max(1, cfg.add_iters)
+        if int(self.state.model.num_active) >= kmax:
+            import warnings
+
+            new_kmax = min(cfg.max_components,
+                           _round_up(max(2 * kmax, kmax + 8), 8))
+            warnings.warn(
+                f"component capacity {kmax} exhausted; repadding to "
+                f"{new_kmax} (max_components={cfg.max_components}) — one "
+                "recompile. Set tpu.max_components to preallocate."
+            )
+            self.grow_capacity(new_kmax)
+
+    # ------------------------------------------------------------------
     # Public API
     # ------------------------------------------------------------------
     def train_iter(self) -> None:
         """Advance one iteration (reference: gmmvi.py:146-161)."""
+        self._maybe_grow()
         if self.target_distribution.safe_for_jit:
             self.state = self._jitted_step(self.state)
             return
@@ -433,6 +495,9 @@ class GMMVI:
             for _ in range(n):
                 self.train_iter()
             return
+        # capacity checks happen between scans (adds inside the scan no-op
+        # once full; the next call grows and adding resumes)
+        self._maybe_grow()
         fn = self._multi_step_cache.get(n)
         if fn is None:
             def multi(state):

@@ -446,3 +446,57 @@ def get_random_samples(
     perm = jax.random.permutation(key, c)[:n]
     valid = perm < filled
     return db.res_samples[perm], db.res_lnpdfs[perm], valid
+
+
+def repad_db(
+    db: SampleDbState, new_max_components: int, new_capacity: int
+) -> SampleDbState:
+    """Grow the padded component axis and/or the sample-ring capacity
+    (host-side utility used by :meth:`GMMVI.grow_capacity`; triggers one
+    recompile of the training step).
+
+    The newest ``min(written, old_capacity, new_capacity)`` samples are
+    re-laid-out so every surviving sample keeps its logical position
+    ``pos % capacity`` under the new capacity — :func:`_gather_window`
+    semantics (window contents, ordering, validity) are preserved exactly.
+    """
+    kmax, d = db.max_components, db.num_dimensions
+    s_old, s_new = db.capacity, new_capacity
+    k_extra = new_max_components - kmax
+
+    new = db
+    if k_extra > 0:
+        r = db.ring_iters
+        if db.diagonal:
+            pad_chol = jnp.ones((r, k_extra, d), jnp.float32)
+        else:
+            pad_chol = jnp.tile(
+                jnp.eye(d, dtype=jnp.float32)[None, None], (r, k_extra, 1, 1)
+            )
+        new = new.replace(
+            dist_means=jnp.concatenate(
+                [db.dist_means, jnp.zeros((r, k_extra, d), jnp.float32)], axis=1
+            ),
+            dist_chols=jnp.concatenate([db.dist_chols, pad_chol], axis=1),
+            dist_inv_chols=jnp.concatenate([db.dist_inv_chols, pad_chol], axis=1),
+        )
+
+    if s_new > s_old:
+        n_keep = int(jnp.minimum(db.write_pos, s_old))
+        # chronological positions of the surviving samples
+        pos = jnp.arange(n_keep) + (int(db.write_pos) - n_keep)
+        old_idx = pos % s_old
+        new_idx = pos % s_new
+
+        def relay(old_arr, shape, fill=0):
+            arr = jnp.full(shape, fill, old_arr.dtype)
+            return arr.at[new_idx].set(old_arr[old_idx])
+
+        new = new.replace(
+            samples=relay(db.samples, (s_new, d)),
+            target_lnpdfs=relay(db.target_lnpdfs, (s_new,)),
+            target_grads=relay(db.target_grads, (s_new, d)),
+            sample_iter=relay(db.sample_iter, (s_new,), fill=-1),
+            sample_comp=relay(db.sample_comp, (s_new,)),
+        )
+    return new

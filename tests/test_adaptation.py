@@ -153,3 +153,105 @@ def test_adapt_respects_max_components():
         m, mt, ad, db, cfg, jnp.asarray(6), jax.random.PRNGKey(12)
     )
     assert int(m2.num_active) == 3  # at the cap: no further adds
+
+
+def test_auto_repad_grows_past_initial_padding():
+    """When VIPS fills the static padding but num_component_adapter's
+    max_components still has headroom, the next add window triggers a loud
+    host-side repad and growth continues (the reference grows its variables
+    unboundedly, gmm_wrapper.py:90-127; round-1 behavior was a silent cap)."""
+    import warnings
+
+    from gmmvi_tpu.experiments.targets.gmm import make_star_target
+    from gmmvi_tpu.experiments.setup import init_experiment
+    from gmmvi_tpu.optimization.gmmvi import GMMVI
+    from gmmvi_tpu.configs import get_default_algorithm_config, update_config
+
+    target = make_star_target(num_components=5)
+    cfg = get_default_algorithm_config("SAMTRON")
+    cfg = update_config(cfg, {
+        "start_seed": 0, "seed": 0, "target_fn": target,
+        "environment_name": "star",
+        "model_initialization": {
+            "use_diagonal_covs": False, "num_initial_components": 2,
+            "prior_mean": 0.0, "prior_scale": 3.0, "initial_cov": 1.0,
+        },
+        "use_sample_database": True, "max_database_size": 100000,
+        "temperature": 1.0,
+        "sample_selector_config": {
+            "desired_samples_per_component": 16,
+            "ratio_reused_samples_to_desired": 1.0,
+        },
+        "num_component_adapter_config": {
+            "del_iters": 100, "add_iters": 2, "max_components": 12,
+            "thresholds_for_add_heuristic": [100.0],
+            "min_weight_for_del_heuristic": 1e-6,
+            "num_database_samples": 128, "num_prior_samples": 0,
+        },
+        "gmmvi_runner_config": {"log_metrics_interval": 100},
+        "tpu": {"max_components": 4},   # deliberately too small
+    })
+    t, model, meta = init_experiment(cfg)
+    g = GMMVI.build_from_config(cfg, target, model, meta)
+    assert g.state.model.max_components == 4
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        for _ in range(30):
+            g.train_iter()
+    grown = [w for w in caught if "repadding" in str(w.message)]
+    assert grown, "expected a loud capacity-growth warning"
+    assert g.state.model.max_components > 4
+    assert int(g.state.model.num_active) > 4
+    assert g.state.model.max_components <= 12
+    # state stays sound after the relayout
+    k = int(g.state.model.num_active)
+    assert np.all(np.isfinite(np.asarray(g.state.model.means)[:k]))
+    lw = np.asarray(g.state.model.log_weights)[:k]
+    np.testing.assert_allclose(np.exp(lw).sum(), 1.0, rtol=1e-5)
+
+
+def test_repad_db_preserves_window():
+    """repad_db must preserve get_newest_samples semantics exactly."""
+    import jax
+    import jax.numpy as jnp
+    from gmmvi_tpu.models import gmm as G
+    from gmmvi_tpu.optimization import sample_db as db_ops
+
+    rng = np.random.RandomState(0)
+    d, kmax = 3, 4
+    model = G.create_gmm_state(
+        np.full(kmax, 1.0 / kmax, np.float32),
+        rng.randn(kmax, d).astype(np.float32),
+        np.tile(np.eye(d, dtype=np.float32)[None], (kmax, 1, 1)),
+        max_components=kmax, diagonal=False,
+    )
+    db = db_ops.create_sample_db(
+        dim=d, max_components=kmax, capacity=32, dist_ring_iters=4,
+        reservoir_capacity=16, diagonal=False, keep_samples=True,
+    )
+    key = jax.random.PRNGKey(0)
+    for it in range(3):
+        b = 12
+        samples = jnp.asarray(rng.randn(b, d).astype(np.float32))
+        valid = jnp.asarray(rng.rand(b) < 0.8)
+        mapping = jnp.asarray(rng.randint(0, kmax, b), jnp.int32)
+        lnp = jnp.asarray(rng.randn(b).astype(np.float32))
+        grads = jnp.asarray(rng.randn(b, d).astype(np.float32))
+        key, k = jax.random.split(key)
+        db = db_ops.add_samples(db, jnp.asarray(it), model, samples, valid,
+                                mapping, lnp, grads, k)
+
+    before = db_ops.get_newest_samples(db, 24, jnp.asarray(24), 16)
+    db2 = db_ops.repad_db(db, new_max_components=8, new_capacity=64)
+    assert db2.max_components == 8 and db2.capacity == 64
+    after = db_ops.get_newest_samples(db2, 24, jnp.asarray(24), 16)
+    v_b, v_a = np.asarray(before.valid), np.asarray(after.valid)
+    np.testing.assert_array_equal(v_b, v_a)
+    np.testing.assert_allclose(
+        np.asarray(before.samples)[v_b], np.asarray(after.samples)[v_a])
+    np.testing.assert_allclose(
+        np.asarray(before.background_log_pdfs)[v_b],
+        np.asarray(after.background_log_pdfs)[v_a], rtol=1e-6)
+    np.testing.assert_array_equal(
+        np.asarray(before.mapping)[v_b], np.asarray(after.mapping)[v_a])

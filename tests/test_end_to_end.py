@@ -189,3 +189,27 @@ def test_bucketed_target_eval_matches_full():
         np.asarray(g_off.state.model.log_weights), rtol=1e-6, atol=1e-6)
     assert int(g_on.state.db.num_samples_written) == int(
         g_off.state.db.num_samples_written)
+
+
+def test_checkpoint_rejects_structural_mismatch(tmp_path):
+    """Path-keyed checkpoints fail loudly on structural drift (round-1
+    checkpoints were positional and silently loaded wrong state)."""
+    target = make_simple_target()
+    cfg = _base_config("SAMTRON", target, kmax=8)
+    t, model, meta = init_experiment(cfg)
+    g = GMMVI.build_from_config(cfg, target, model, meta)
+    for _ in range(3):
+        g.train_iter()
+    path = str(tmp_path / "ck.npz")
+    ckpt.save_state(path, g.state)
+
+    # same leaf COUNT but different capacity -> must raise, not permute
+    cfg2 = _base_config("SAMTRON", target, kmax=16)
+    t2, model2, meta2 = init_experiment(cfg2)
+    g2 = GMMVI.build_from_config(cfg2, target, model2, meta2)
+    with pytest.raises(ValueError, match="shapes differ|structure mismatch"):
+        ckpt.load_state(path, g2.state)
+
+    # a plain pytree with different paths -> must raise
+    with pytest.raises(ValueError, match="structure mismatch"):
+        ckpt.load_state(path, {"a": np.zeros(3)})
