@@ -386,11 +386,10 @@ def _tr_update_one(old_mean, old_chol, old_inv_chol, last_eta, eps, hneg, gneg,
     """Trust-region update for one component
     (reference: ng_based_component_updater.py:439-511).
 
-    ``search="bracket"`` follows the reference's bisection exactly; for
-    full covariances the KL is evaluated in the spectral parameterization
-    (:func:`_tr_eigen_precompute`).  ``search="bracket-chol"`` keeps the
-    direct Cholesky-based KL for comparison; ``search="grid"`` is the
-    batched two-level grid alternative."""
+    ``search="bracket"`` follows the reference's bisection exactly with the
+    direct Cholesky-based KL; ``search="bracket-eigen"`` evaluates the KL in
+    the spectral parameterization instead; ``search="grid"`` is the batched
+    two-level grid alternative."""
     d = old_mean.shape[0]
     reward_quad = hneg
     if diagonal:
@@ -422,8 +421,13 @@ def _tr_update_one(old_mean, old_chol, old_inv_chol, last_eta, eps, hneg, gneg,
     lower0 = jnp.where(no_warm, -20.0, jnp.maximum(0.0, jnp.log(jnp.abs(last_eta) + 1e-30) - 3.0))
     upper0 = jnp.where(no_warm, 80.0, jnp.log(jnp.abs(last_eta) + 1e-30) + 3.0)
 
-    if search == "bracket" and not diagonal:
-        # spectral path: the bisection evaluates elementwise KL only
+    if search == "bracket-eigen" and not diagonal:
+        # spectral path: the bisection evaluates elementwise KL only.
+        # NOTE: measured SLOWER than the Cholesky path on the v5e at the
+        # flagship shape (batched eigh costs ~0.8 ms sequential latency on
+        # the critical path vs ~40 us/trip for the Cholesky KL), so it is
+        # opt-in (tpu.trust_region_search: bracket-eigen); it may win at
+        # much larger D or trip counts.
         lam, u, cvec, bvec = _tr_eigen_precompute(
             old_mean, old_chol, reward_lin, reward_quad
         )

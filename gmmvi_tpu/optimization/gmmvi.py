@@ -304,6 +304,7 @@ class GMMVI:
                 ],
                 only_use_own_samples=self.estimator_cfg["only_use_own_samples"],
                 pack=pack,
+                newest_mask=window.newest_mask,
             )
         elif self.estimator_type == "MORE":
             est = est_ops.more_estimate(
@@ -315,6 +316,7 @@ class GMMVI:
                 ],
                 only_use_own_samples=self.estimator_cfg["only_use_own_samples"],
                 pack=pack,
+                newest_mask=window.newest_mask,
             )
         else:
             raise ValueError(f"unknown ng_estimator_type {self.estimator_type}")

@@ -63,6 +63,7 @@ def stein_estimate(
     use_self_normalized_importance_weights: bool = True,
     only_use_own_samples: bool = False,
     pack=None,
+    newest_mask: jnp.ndarray = None,   # [N] bool: sample is from the newest add
 ) -> NgEstimate:
     """First-order estimator via Stein's lemma (reference: ng_estimator.py:123-263).
 
@@ -82,7 +83,14 @@ def stein_estimate(
 
     own_mask = None
     if only_use_own_samples:
+        # The reference's relative mapping (ng_estimator.py:244) aligns the
+        # newest add batch's generating distributions with the current
+        # components; samples of OLDER batches shift out of range and match
+        # no component.  newest_mask reproduces that; without it (direct
+        # calls on a single batch) slot equality alone is the same thing.
         own_mask = mapping[None, :] == jnp.arange(model.max_components)[:, None]
+        if newest_mask is not None:
+            own_mask = jnp.logical_and(own_mask, newest_mask[None, :])
 
     log_iw, mask = _per_component_log_iw(
         pack.component_log_densities, background, sample_mask, own_mask
@@ -95,8 +103,13 @@ def stein_estimate(
         w = w / jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1e-38)
     else:
         # standard IW with the signed-logsumexp trick
-        # (reference: ng_estimator.py:146-169); 1/n uses the VALID count.
-        n = jnp.maximum(jnp.sum(sample_mask.astype(jnp.float32)), 1.0)
+        # (reference: ng_estimator.py:146-169).  1/n uses the count of
+        # samples each component sees (= the full valid window normally; the
+        # component's own-sample count under only_use_own_samples, since the
+        # reference passes only those to _stable_expectation).
+        n = jnp.maximum(
+            jnp.sum(mask.astype(jnp.float32), axis=1, keepdims=True), 1.0
+        )
         w = jnp.where(mask, jnp.exp(log_iw), 0.0) / n
 
     grad = jnp.einsum("kn,nd->kd", w, log_ratio_grads, precision=_PREC)
@@ -129,6 +142,7 @@ def more_estimate(
     use_self_normalized_importance_weights: bool = True,
     only_use_own_samples: bool = False,
     pack=None,
+    newest_mask: jnp.ndarray = None,   # [N] bool: sample is from the newest add
 ) -> NgEstimate:
     """Zero-order estimator via a quadratic compatible surrogate
     (reference: ng_estimator.py:266-376): fit R~(x) = x^T Q x + x^T r + r0 by
@@ -147,7 +161,10 @@ def more_estimate(
 
     own_mask = None
     if only_use_own_samples:
+        # newest-batch-only semantics; see stein_estimate
         own_mask = mapping[None, :] == jnp.arange(model.max_components)[:, None]
+        if newest_mask is not None:
+            own_mask = jnp.logical_and(own_mask, newest_mask[None, :])
 
     log_iw, mask = _per_component_log_iw(
         comp_log_densities, background, sample_mask, own_mask

@@ -206,6 +206,16 @@ class SampleWindow:
     background_log_pdfs: jnp.ndarray  # [W]
     valid: jnp.ndarray          # [W] bool
     num_valid: jnp.ndarray      # scalar int32
+    sample_iters: jnp.ndarray = None  # [W] int32 iteration each sample was drawn
+
+    @property
+    def newest_mask(self) -> jnp.ndarray:
+        """True for valid samples of the newest add batch.  This is the set
+        the reference's relative mapping (`mapping - max(mapping) + K - 1`,
+        ng_estimator.py:244) aligns with the current components — samples of
+        older batches shift out of range and match no component."""
+        newest = jnp.max(jnp.where(self.valid, self.sample_iters, -1))
+        return jnp.logical_and(self.valid, self.sample_iters == newest)
 
 
 def _dist_log_pdfs(db: SampleDbState, means, inv_chols, log_dets, x):
@@ -249,7 +259,7 @@ def _gather_window(db: SampleDbState, window: int, n_requested: jnp.ndarray):
     fresh = jnp.logical_and(it >= 0, db.dist_block_iter[row] == it)
     valid = jnp.logical_and(in_range, fresh)
     dist_key = row * kmax + comp
-    return samples, lnpdfs, grads, comp, valid, dist_key
+    return samples, lnpdfs, grads, comp, valid, dist_key, it
 
 
 def _gather_dists(db: SampleDbState, keys: jnp.ndarray):
@@ -285,9 +295,8 @@ def get_newest_samples(
     """
     kmax, r = db.max_components, db.ring_iters
 
-    samples, lnpdfs, grads, comp, valid, dist_key = _gather_window(
-        db, window, n_requested
-    )
+    samples, lnpdfs, grads, comp, valid, dist_key, sample_iters = \
+        _gather_window(db, window, n_requested)
 
     # count-weighted distinct dists in the window (sample_db.py:221-227)
     counts = jnp.zeros((r * kmax,), jnp.float32).at[
@@ -322,6 +331,7 @@ def get_newest_samples(
         background_log_pdfs=bg,
         valid=valid,
         num_valid=jnp.sum(valid).astype(jnp.int32),
+        sample_iters=sample_iters,
     )
 
 
@@ -355,9 +365,8 @@ def get_newest_samples_fused(
 
     kmax, r = db.max_components, db.ring_iters
 
-    samples, lnpdfs, grads, comp, valid, dist_key = _gather_window(
-        db, window, n_requested
-    )
+    samples, lnpdfs, grads, comp, valid, dist_key, sample_iters = \
+        _gather_window(db, window, n_requested)
 
     pack = density_pack(model, samples)  # [Kmax, W] current-model pass
 
@@ -427,6 +436,7 @@ def get_newest_samples_fused(
         background_log_pdfs=bg,
         valid=valid,
         num_valid=jnp.sum(valid).astype(jnp.int32),
+        sample_iters=sample_iters,
     )
     return win, pack
 
@@ -440,7 +450,24 @@ def get_random_samples(
     Without replacement, like the reference's shuffled-index gather
     (sample_db.py:137-152): a random permutation of the reservoir slots, with
     slots beyond the filled prefix masked invalid.
+
+    With ``keep_samples=False`` the reference's database holds only the
+    newest batch (sample_db.py:126-135 replaces instead of appending), so
+    candidates are drawn uniformly from the newest add batch in the sample
+    ring instead of the whole-history reservoir.
     """
+    if not db.keep_samples:
+        s = db.capacity
+        pos = db.write_pos - 1 - jnp.arange(s)  # newest first
+        idx = pos % s
+        it = db.sample_iter[idx]
+        newest = jnp.max(jnp.where(pos >= 0, it, -1))
+        ok = jnp.logical_and(pos >= 0, it == newest)
+        r = jax.random.uniform(key, (s,))
+        order = jnp.argsort(jnp.where(ok, r, 2.0))
+        sel = order[:n]
+        return db.samples[idx[sel]], db.target_lnpdfs[idx[sel]], ok[sel]
+
     c = db.reservoir_capacity
     filled = jnp.minimum(db.res_count, c)
     perm = jax.random.permutation(key, c)[:n]

@@ -300,3 +300,96 @@ def test_delete_heuristic_parity():
         np.asarray(new_model.means[: len(keep)]),
         np.asarray(model.means)[keep], rtol=1e-6,
     )
+
+
+class _SteinModelStandIn:
+    """The GmmWrapper attributes the reference SteinNgEstimator reads."""
+
+    def __init__(self, log_weights, means, covs):
+        self.diagonal_covs = False
+        k, d = means.shape
+        self.num_components = k
+        self.num_dimensions = d
+        self.log_weights = tf.constant(log_weights)
+        self.means = tf.constant(means)
+        self.chol_cov = tf.constant(np.linalg.cholesky(covs).astype(np.float32))
+        self.l2_regularizers = tf.constant(np.full(k, 1e-12, np.float32))
+
+    def component_log_densities(self, samples):
+        diffs = tf.expand_dims(samples, 0) - tf.expand_dims(self.means, 1)
+        sqrts = tf.linalg.triangular_solve(
+            self.chol_cov, tf.transpose(diffs, [0, 2, 1]))
+        mahalas = -0.5 * tf.reduce_sum(sqrts * sqrts, axis=1)
+        consts = (
+            -0.5 * tf.reduce_sum(
+                tf.math.log(tf.square(tf.linalg.diag_part(self.chol_cov))),
+                axis=1)
+            - 0.5 * self.num_dimensions * tf.math.log(
+                2 * tf.constant(math.pi))
+        )
+        return mahalas + tf.expand_dims(consts, 1)
+
+    def log_density_and_grad(self, samples):
+        with tf.GradientTape() as tape:
+            tape.watch(samples)
+            comp = self.component_log_densities(samples)
+            dens = tf.reduce_logsumexp(
+                comp + tf.expand_dims(self.log_weights, 1), axis=0)
+        grad = tape.gradient(dens, samples)
+        return dens, grad, comp
+
+
+@pytest.mark.parametrize("sniw", [True, False])
+def test_stein_own_samples_historical_parity(sniw):
+    """only_use_own_samples with HISTORICAL samples in the window: the
+    reference's relative mapping (ng_estimator.py:244) lets only the newest
+    add batch match the current components — older batches match nothing.
+    Verified against the reference estimator with a two-batch window."""
+    from gmmvi.optimization.gmmvi_modules.ng_estimator import SteinNgEstimator
+
+    from gmmvi_tpu.models import gmm as G
+    from gmmvi_tpu.optimization.ng_estimators import stein_estimate
+
+    rng = np.random.RandomState(7)
+    k, d, n0, n1 = 3, 2, 30, 24
+    lw = np.log(rng.dirichlet(np.ones(k))).astype(np.float32)
+    means = (rng.randn(k, d) * 2).astype(np.float32)
+    a = rng.randn(k, d, d).astype(np.float32) * 0.3
+    covs = np.einsum("kij,klj->kil", a, a) + np.eye(d, dtype=np.float32)
+
+    samples = (rng.randn(n0 + n1, d) * 2).astype(np.float32)
+    slots = np.concatenate([
+        rng.randint(0, k, n0), rng.randint(0, k, n1)
+    ]).astype(np.int32)
+    # reference DB mapping: global distribution indices; the older add
+    # appended dists 0..k-1, the newest add k..2k-1
+    global_mapping = slots + np.concatenate(
+        [np.zeros(n0, np.int32), np.full(n1, k, np.int32)])
+    bg = (rng.randn(n0 + n1) * 0.3 - 4.0).astype(np.float32)
+    target = (rng.randn(n0 + n1) - 2.0).astype(np.float32)
+    tgrads = (rng.randn(n0 + n1, d) * 0.5).astype(np.float32)
+
+    ref_model = _SteinModelStandIn(lw, means, covs)
+    ref_est = SteinNgEstimator(
+        temperature=1.0, model=ref_model, only_use_own_samples=True,
+        use_self_normalized_importance_weights=sniw)
+    ref_h, ref_g = ref_est.get_expected_hessian_and_grad(
+        tf.constant(samples), tf.constant(global_mapping), tf.constant(bg),
+        tf.constant(target), tf.constant(tgrads))
+
+    state = G.create_gmm_state(np.exp(lw), means, covs, max_components=k)
+    n = n0 + n1
+    est = stein_estimate(
+        state, jnp.asarray(samples), jnp.ones(n, bool), jnp.asarray(slots),
+        jnp.asarray(bg), jnp.asarray(target), jnp.asarray(tgrads),
+        use_self_normalized_importance_weights=sniw,
+        only_use_own_samples=True,
+        newest_mask=jnp.asarray(
+            np.concatenate([np.zeros(n0, bool), np.ones(n1, bool)])),
+    )
+    np.testing.assert_allclose(
+        np.asarray(est.expected_gradients_neg), ref_g.numpy(),
+        rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(est.expected_hessians_neg), ref_h.numpy(),
+        rtol=1e-4, atol=1e-5)

@@ -175,3 +175,41 @@ def test_feval_counter_counts_only_valid():
     pattern[:5] = True
     db, _, _, _ = _add_batch(db, model, 0, 4, seed=30, valid_pattern=pattern)
     assert int(db.num_samples_written) == 5
+
+
+def test_random_samples_keep_samples_false_uses_newest_batch_only():
+    """With use_sample_database: false the reference's DB holds only the last
+    batch (sample_db.py:126-135), so add-heuristic candidates must come from
+    the newest batch — not the whole-history reservoir."""
+    import jax
+    import jax.numpy as jnp
+    from gmmvi_tpu.models import gmm as G
+    from gmmvi_tpu.optimization import sample_db as db_ops
+
+    rng = np.random.RandomState(0)
+    d, kmax = 2, 2
+    model = G.create_gmm_state(
+        np.full(kmax, 0.5, np.float32), rng.randn(kmax, d).astype(np.float32),
+        np.tile(np.eye(d, dtype=np.float32)[None], (kmax, 1, 1)),
+        max_components=kmax, diagonal=False,
+    )
+    db = db_ops.create_sample_db(
+        dim=d, max_components=kmax, capacity=64, dist_ring_iters=4,
+        reservoir_capacity=64, diagonal=False, keep_samples=False,
+    )
+    key = jax.random.PRNGKey(0)
+    for it in range(3):
+        b = 10
+        # batch `it` has all-coordinate value == it (easy provenance check)
+        samples = jnp.full((b, d), float(it))
+        key, k = jax.random.split(key)
+        db = db_ops.add_samples(
+            db, jnp.asarray(it), model, samples, jnp.ones(b, bool),
+            jnp.zeros(b, jnp.int32), jnp.full((b,), float(it)),
+            jnp.zeros((b, d)), k,
+        )
+    s, lnp, valid = db_ops.get_random_samples(db, jax.random.PRNGKey(9), 16)
+    v = np.asarray(valid)
+    assert v.sum() == 10  # only the newest batch qualifies
+    np.testing.assert_allclose(np.asarray(s)[v], 2.0)
+    np.testing.assert_allclose(np.asarray(lnp)[v], 2.0)

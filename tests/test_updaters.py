@@ -202,3 +202,37 @@ def test_updaters_leave_padding_slots_alone():
             np.tile(np.eye(d)[None], (2, 1, 1)),
         )
         assert np.all(np.asarray(res.model.log_weights[2:]) == -np.inf)
+
+
+def test_bracket_eigen_matches_cholesky_search():
+    """The spectral KL (tpu.trust_region_search: bracket-eigen) visits the
+    same bisection sequence and produces the same update as the Cholesky KL."""
+    import jax.numpy as jnp
+    from gmmvi_tpu.models import gmm as G
+    from gmmvi_tpu.models import meta as M
+    from gmmvi_tpu.optimization.component_updaters import trust_region_update
+
+    rng = np.random.RandomState(3)
+    k, d = 5, 4
+    means = rng.randn(k, d).astype(np.float32)
+    a = rng.randn(k, d, d).astype(np.float32) * 0.3
+    covs = np.einsum("kij,klj->kil", a, a) + np.eye(d, dtype=np.float32)
+    state = G.create_gmm_state(np.full(k, 1.0 / k, np.float32), means, covs,
+                               max_components=k)
+    meta = M.create_meta_state(state, 0.5, 1e-12, 2)
+    hneg = np.einsum("kij,klj->kil", a * 0.5, a * 0.5) + \
+        0.1 * np.eye(d, dtype=np.float32)
+    gneg = (rng.randn(k, d) * 0.2).astype(np.float32)
+
+    out1 = trust_region_update(state, meta, jnp.asarray(hneg),
+                               jnp.asarray(gneg), meta.stepsizes,
+                               search="bracket")
+    out2 = trust_region_update(state, meta, jnp.asarray(hneg),
+                               jnp.asarray(gneg), meta.stepsizes,
+                               search="bracket-eigen")
+    np.testing.assert_allclose(np.asarray(out1[0].means),
+                               np.asarray(out2[0].means), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out1[0].chols),
+                               np.asarray(out2[0].chols), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out1[1].last_etas),
+                               np.asarray(out2[1].last_etas), rtol=1e-3)
