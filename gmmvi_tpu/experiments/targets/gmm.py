@@ -94,6 +94,21 @@ def make_target(num_dimensions: int, seed: int = None) -> GMM_LNPDF:
     return GMM_LNPDF(weights, means, covs)
 
 
+def make_target_with_scale(num_dimensions: int, num_components: int,
+                           scale: float, seed: int = None) -> GMM_LNPDF:
+    """Random GMM with configurable component count and covariance scale:
+    covs A^T A + I with A ~ N(0, sqrt(scale)) (reference: gmm.py:148-160)."""
+    rng = np.random.RandomState(seed)
+    weights = np.ones(num_components) / num_components
+    means = 100.0 * (rng.random((num_components, num_dimensions)) - 0.5)
+    covs = np.empty((num_components, num_dimensions, num_dimensions))
+    for i in range(num_components):
+        a = rng.normal(0, math.sqrt(scale),
+                       (num_dimensions, num_dimensions))
+        covs[i] = a.T @ a + np.eye(num_dimensions)
+    return GMM_LNPDF(weights, means, covs)
+
+
 def make_diag_target(num_dimensions: int, seed: int = None) -> DIAGGMM_LNPDF:
     """Random 10-component diagonal GMM (reference: diag_gmm.py:33-43)."""
     rng = np.random.RandomState(seed)

@@ -61,3 +61,44 @@ def test_runner_mmd_wiring(tmp_path):
     assert mmd0 is not None
     # training decreases the discrepancy to the target's ground-truth sample
     assert mmd_last < mmd0
+
+
+def test_planar_robot_grid_visualizers():
+    """Multi-arm sample visualizers (reference: visualize_planar_robot.py:32-106)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from gmmvi_tpu.experiments.evaluation.visualize_planar_robot import (
+        visualize_n_link_multi, visualize_samples_multi,
+        visualize_samples_multi_grid,
+    )
+
+    rng = np.random.RandomState(0)
+    num_arms, num_links, num_goals = 2, 5, 4
+    samples = rng.randn(6, num_arms * num_links) * 0.3
+
+    fig, ax = plt.subplots()
+    visualize_n_link_multi(samples[0], np.ones(num_links), num_goals,
+                           num_arms, num_links, ax=ax)
+    visualize_samples_multi(samples, num_goals, num_arms, num_links, ax=ax)
+    plt.close(fig)
+
+    grid_fig = visualize_samples_multi_grid(samples, num_goals, num_arms,
+                                            num_links, grid=(2, 3))
+    assert len(grid_fig.axes) == 6
+    plt.close(grid_fig)
+
+
+def test_make_target_with_scale():
+    """(reference: gmm.py:148-160)"""
+    import jax.numpy as jnp
+
+    from gmmvi_tpu.experiments.targets.gmm import make_target_with_scale
+
+    t = make_target_with_scale(num_dimensions=4, num_components=6, scale=2.0,
+                               seed=0)
+    assert t.get_num_dimensions() == 4
+    x = np.random.RandomState(1).randn(5, 4).astype(np.float32)
+    ld = np.asarray(t.log_density(jnp.asarray(x)))
+    assert ld.shape == (5,) and np.all(np.isfinite(ld))
