@@ -606,15 +606,35 @@ class GMMVI:
         if vips_cfg is not None and vips_cfg.num_database_samples > reservoir:
             vips_cfg = vips_cfg._replace(num_database_samples=reservoir)
         keep_samples = bool(config.get("use_sample_database", True))
-        db = db_ops.create_sample_db(
-            dim=d,
-            max_components=kmax,
-            capacity=w_total,
-            dist_ring_iters=int(tpu_cfg.get("dist_ring_iters", default_ring)),
-            reservoir_capacity=reservoir,
-            diagonal=model.diagonal,
-            keep_samples=keep_samples,
-        )
+        if str(tpu_cfg.get("db_eviction", "ring")) == "decimate":
+            # parity mode: reproduce the reference's decimation-on-overflow
+            # long-horizon reuse semantics (reference: sample_db.py:63-79)
+            from gmmvi_tpu.optimization import sample_db_decimate as dec_ops
+
+            cap = int(min(int(config.get("max_database_size", 10_000_000)),
+                          int(tpu_cfg.get("decimate_capacity_cap", 262_144))))
+            cap = max(cap, w_total)
+            db = dec_ops.create_decimating_db(
+                dim=d,
+                max_components=kmax,
+                capacity=cap,
+                # every add appends <= num_active dists and >= num_active
+                # samples, so capacity + kmax rows can never overflow
+                dist_capacity=int(tpu_cfg.get("max_dists", cap + kmax)),
+                diagonal=model.diagonal,
+                keep_samples=keep_samples,
+            )
+        else:
+            db = db_ops.create_sample_db(
+                dim=d,
+                max_components=kmax,
+                capacity=w_total,
+                dist_ring_iters=int(tpu_cfg.get("dist_ring_iters",
+                                                default_ring)),
+                reservoir_capacity=reservoir,
+                diagonal=model.diagonal,
+                keep_samples=keep_samples,
+            )
         if not keep_samples:
             # no reuse: behaves like the reference's keep_samples=False
             selector_cfg = selector_cfg._replace(reused_samples_per_component=0)

@@ -123,7 +123,7 @@ def create_sample_db(
 
 
 def add_samples(
-    db: SampleDbState,
+    db,
     iteration: jnp.ndarray,
     model: GmmState,
     samples: jnp.ndarray,       # [B, D] flat candidate batch
@@ -140,6 +140,11 @@ def add_samples(
     of the valid entries is a prefix-sum scatter; invalid entries scatter
     out of bounds (dropped).
     """
+    if not isinstance(db, SampleDbState):  # decimation-compatible parity mode
+        from gmmvi_tpu.optimization import sample_db_decimate as dec
+
+        return dec.add_samples(db, iteration, model, samples, valid, mapping,
+                               target_lnpdfs, target_grads, key)
     s = db.capacity
     b = samples.shape[0]
     validf = valid.astype(jnp.int32)
@@ -293,6 +298,11 @@ def get_newest_samples(
     distributions evaluated; the least-used dists beyond the bound have their
     samples masked out of the window.  (reference: sample_db.py:194-228)
     """
+    if not isinstance(db, SampleDbState):
+        from gmmvi_tpu.optimization import sample_db_decimate as dec
+
+        return dec.get_newest_samples(db, window, n_requested,
+                                      max_background_dists)
     kmax, r = db.max_components, db.ring_iters
 
     samples, lnpdfs, grads, comp, valid, dist_key, sample_iters = \
@@ -362,6 +372,13 @@ def get_newest_samples_fused(
     distributions (the reference keeps all of them, sample_db.py:221-227).
     """
     from gmmvi_tpu.models.gmm import density_pack
+
+    if not isinstance(db, SampleDbState):
+        from gmmvi_tpu.optimization import sample_db_decimate as dec
+
+        win = dec.get_newest_samples(db, window, n_requested,
+                                     max_background_dists)
+        return win, density_pack(model, win.samples)
 
     kmax, r = db.max_components, db.ring_iters
 
@@ -456,6 +473,10 @@ def get_random_samples(
     candidates are drawn uniformly from the newest add batch in the sample
     ring instead of the whole-history reservoir.
     """
+    if not isinstance(db, SampleDbState):
+        from gmmvi_tpu.optimization import sample_db_decimate as dec
+
+        return dec.get_random_samples(db, key, n)
     if not db.keep_samples:
         s = db.capacity
         pos = db.write_pos - 1 - jnp.arange(s)  # newest first
@@ -487,6 +508,9 @@ def repad_db(
     ``pos % capacity`` under the new capacity — :func:`_gather_window`
     semantics (window contents, ordering, validity) are preserved exactly.
     """
+    if not isinstance(db, SampleDbState):
+        # the decimating DB's shapes do not depend on the component padding
+        return db
     kmax, d = db.max_components, db.num_dimensions
     s_old, s_new = db.capacity, new_capacity
     k_extra = new_max_components - kmax

@@ -91,14 +91,21 @@ class GmmviRunner:
     @jax.jit
     def _cheap_metrics_device(state):
         """All cheap metrics as one device array (single host fetch)."""
+        from gmmvi_tpu.optimization.sample_db import SampleDbState
+
+        if isinstance(state.db, SampleDbState):
+            db_size = jnp.minimum(state.db.write_pos, state.db.capacity)
+            num_dists = jnp.sum(state.db.dist_block_iter >= 0) \
+                * state.db.max_components
+        else:  # decimation-compatible DB
+            db_size = state.db.count
+            num_dists = state.db.dist_count
         return jnp.stack([
             state.db.num_samples_written.astype(jnp.float32),
             state.model.num_active.astype(jnp.float32),
             jnp.max(state.model.weights),
-            jnp.minimum(state.db.write_pos, state.db.capacity).astype(
-                jnp.float32),
-            (jnp.sum(state.db.dist_block_iter >= 0)
-             * state.db.max_components).astype(jnp.float32),
+            db_size.astype(jnp.float32),
+            num_dists.astype(jnp.float32),
         ])
 
     def get_cheap_metrics(self) -> dict:

@@ -213,3 +213,25 @@ def test_checkpoint_rejects_structural_mismatch(tmp_path):
     # a plain pytree with different paths -> must raise
     with pytest.raises(ValueError, match="structure mismatch"):
         ckpt.load_state(path, {"a": np.zeros(3)})
+
+
+def test_decimate_db_mode_end_to_end():
+    """tpu.db_eviction: decimate runs the full optimizer with the
+    decimation-on-overflow database and still converges."""
+    target = make_simple_target()
+    cfg = _base_config("SAMTRON", target, n_des=16, ratio=2.0, kmax=4, k0=2,
+                       seed=1)
+    cfg = update_config(cfg, {
+        "max_database_size": 256,   # small: forces decimation events
+        "tpu": {"max_components": 4, "db_eviction": "decimate"},
+    })
+    t, model, meta = init_experiment(cfg)
+    gmmvi = GMMVI.build_from_config(cfg, target, model, meta)
+    from gmmvi_tpu.optimization.sample_db_decimate import DecimatingDbState
+    assert isinstance(gmmvi.state.db, DecimatingDbState)
+    elbo0 = _elbo(gmmvi, target)
+    for _ in range(40):
+        gmmvi.train_iter()
+    assert int(gmmvi.state.db.count) <= 256
+    assert int(gmmvi.state.db.num_samples_written) > 256  # overflowed
+    assert _elbo(gmmvi, target) > elbo0 + 1.0

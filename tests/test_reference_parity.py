@@ -241,3 +241,73 @@ def test_german_credit_parity():
     ref_ld = ref.log_density(tf.constant(theta)).numpy()
     got_ld = np.asarray(ours.log_density(jnp.asarray(theta)))
     np.testing.assert_allclose(got_ld, ref_ld, rtol=1e-4, atol=1e-3)
+
+
+def test_decimating_db_overflow_parity():
+    """Decimation-compatible DB mode vs the reference PAST max_samples:
+    eviction keeps every 2nd sample ([::2]) and compacts the generating
+    distributions (reference: sample_db.py:63-79, 111-112).  The surviving
+    sample set, order, and newest-window background densities must match."""
+    from gmmvi.optimization.sample_db import SampleDB
+
+    from gmmvi_tpu.models import gmm as G
+    from gmmvi_tpu.optimization import sample_db as DB
+    from gmmvi_tpu.optimization import sample_db_decimate as DEC
+
+    rng = np.random.RandomState(11)
+    k, d, n_per = 3, 2, 6
+    max_samples = 40           # overflows after ~2 adds of 18
+    w = np.ones(k, np.float32) / k
+
+    ref_db = SampleDB(d, diagonal_covariances=False, keep_samples=True,
+                      max_samples=max_samples)
+    db = DEC.create_decimating_db(d, k, capacity=max_samples,
+                                  dist_capacity=max_samples + k)
+
+    for it in range(6):   # multiple decimation events
+        mu = rng.randn(k, d).astype(np.float32) * (1 + it)
+        covs = np.stack([_rand_spd(rng, d) for _ in range(k)])
+        chols = np.linalg.cholesky(covs).astype(np.float32)
+        model = G.create_gmm_state(w, mu, covs, max_components=k)
+        samples = rng.randn(k * n_per, d).astype(np.float32)
+        mapping = np.repeat(np.arange(k), n_per).astype(np.int32)
+        lnpdfs = rng.randn(k * n_per).astype(np.float32)
+        grads = rng.randn(k * n_per, d).astype(np.float32)
+        ref_db.add_samples(
+            tf.constant(samples), tf.constant(mu), tf.constant(chols),
+            tf.constant(lnpdfs), tf.constant(grads), tf.constant(mapping),
+        )
+        # dispatch through the generic entry point (what the step calls)
+        db = DB.add_samples(
+            db, jnp.asarray(it), model, jnp.asarray(samples),
+            jnp.ones(k * n_per, bool), jnp.asarray(mapping),
+            jnp.asarray(lnpdfs), jnp.asarray(grads), jax.random.PRNGKey(it),
+        )
+
+    ref_n = int(tf.shape(ref_db.samples)[0])
+    assert int(db.count) == ref_n
+    np.testing.assert_allclose(
+        np.asarray(db.samples[: int(db.count)]), ref_db.samples.numpy(),
+        rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(db.target_lnpdfs[: int(db.count)]),
+        ref_db.target_lnpdfs.numpy(), rtol=1e-6)
+    # distribution table compacted identically
+    assert int(db.dist_count) == int(tf.shape(ref_db.means)[0])
+    np.testing.assert_allclose(
+        np.asarray(db.dist_means[: int(db.dist_count)]),
+        ref_db.means.numpy(), rtol=1e-6)
+    np.testing.assert_array_equal(
+        np.asarray(db.dist_idx[: int(db.count)]), ref_db.mapping.numpy())
+
+    # newest-window background densities across the decimated history
+    n_query = 20
+    ref_bg, ref_samples, _, _, _ = ref_db.get_newest_samples(n_query)
+    win = DB.get_newest_samples(db, 32, jnp.asarray(n_query), 64)
+    v = np.asarray(win.valid)
+    assert v.sum() == min(n_query, ref_n)
+    np.testing.assert_allclose(
+        np.asarray(win.samples)[v], ref_samples.numpy(), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(win.background_log_pdfs)[v], ref_bg.numpy(),
+        rtol=1e-3, atol=1e-3)
