@@ -42,15 +42,16 @@ def main():
                          seed=0)
     batch = kmax * n_des  # statically-shaped per-iteration sample pipeline
 
-    # warmup / compile
-    for _ in range(3):
-        gmmvi.train_iter()
+    # Batched stepping (GMMVI.train_iters): one device dispatch runs the
+    # whole block of iterations as a lax.scan, so host/tunnel dispatch
+    # latency (~1 ms/call here) does not pollute the chip throughput
+    # measurement.  This is the intended high-throughput driving mode.
+    iters = 100
+    gmmvi.train_iters(iters)  # warmup / compile
     jax.block_until_ready(gmmvi.state.model.means)
 
-    iters = 20
     t0 = time.perf_counter()
-    for _ in range(iters):
-        gmmvi.train_iter()
+    gmmvi.train_iters(iters)
     jax.block_until_ready(gmmvi.state.model.means)
     elapsed = time.perf_counter() - t0
 

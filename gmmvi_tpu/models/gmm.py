@@ -201,6 +201,20 @@ def log_densities_also_individual(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(model log densities [N], component log densities [Kmax, N]).
     (reference: gmm.py:183-201)"""
+    mode = _fused_density_mode(state, samples.shape[0])
+    if mode != "off":
+        from gmmvi_tpu.ops.pallas_density import fused_component_densities
+
+        logdets = jnp.sum(
+            jnp.log(jnp.abs(jnp.diagonal(state.chols, axis1=-2, axis2=-1))),
+            axis=-1,
+        )
+        comp, model = fused_component_densities(
+            state.means, state.inv_chols,
+            jnp.where(state.mask, state.log_weights, NEG_INF), logdets,
+            samples, interpret=(mode == "interpret"),
+        )
+        return model, comp
     comp = component_log_densities(state, samples)
     model = masked_logsumexp(
         comp + state.log_weights[:, None], mask=state.mask[:, None], axis=0
@@ -210,12 +224,48 @@ def log_densities_also_individual(
 
 @struct.dataclass
 class DensityPack:
-    """All density-related intermediates from one fused pass over samples."""
+    """All density-related intermediates from one fused pass over samples.
+
+    ``prec_times_diff`` is ``None`` when the pack was produced by the Pallas
+    fused kernel — consumers (the Stein estimator) then use the moment form,
+    which never needs the ``[Kmax, N, D]`` array."""
 
     component_log_densities: jnp.ndarray  # [Kmax, N]
     model_log_densities: jnp.ndarray      # [N]
     model_grads: jnp.ndarray              # [N, D]
     prec_times_diff: jnp.ndarray          # [Kmax, N, D] = Sigma_k^{-1}(x - mu_k)
+
+
+def _fused_density_mode(state: GmmState, n: int) -> str:
+    """'pallas' | 'interpret' | 'off' — whether density_pack should use the
+    fused TPU kernel (gmmvi_tpu/ops/pallas_density.py).
+
+    auto: full-covariance models within the kernel's (D, K_pad) envelope on
+    a TPU backend and a window large enough to tile.  GMMVI_FUSED_DENSITY=0
+    disables, =1 forces, =interpret runs the kernel in interpreter mode
+    (for tests on CPU).
+    """
+    import os
+
+    from gmmvi_tpu.ops import pallas_density
+
+    mode = os.environ.get("GMMVI_FUSED_DENSITY", "auto")
+    if mode == "0":
+        return "off"
+    if state.diagonal or not pallas_density.supports(
+            state.num_dimensions, state.max_components):
+        return "off"
+    if mode == "interpret":
+        return "interpret"
+    if n < 512 and mode != "1":
+        return "off"
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        on_tpu = False
+    if mode == "1" or on_tpu:
+        return "pallas"
+    return "off"
 
 
 def density_pack(state: GmmState, samples: jnp.ndarray) -> DensityPack:
@@ -224,8 +274,29 @@ def density_pack(state: GmmState, samples: jnp.ndarray) -> DensityPack:
 
     grad_x log q(x) = - sum_k r_k(x) Sigma_k^{-1}(x-mu_k) with responsibilities
     r_k(x) = softmax_k(log w_k + log N_k(x)).  Replaces the reference's
-    GradientTape pass (gmm.py:274-300) with shared MXU matmuls.
+    GradientTape pass (gmm.py:274-300) with shared MXU matmuls; on TPU the
+    whole pass runs as one Pallas kernel (see
+    :mod:`gmmvi_tpu.ops.pallas_density`).
     """
+    mode = _fused_density_mode(state, samples.shape[0])
+    if mode != "off":
+        from gmmvi_tpu.ops.pallas_density import fused_density_pack
+
+        logdets = jnp.sum(
+            jnp.log(jnp.abs(jnp.diagonal(state.chols, axis1=-2, axis2=-1))),
+            axis=-1,
+        )
+        comp, model, grads = fused_density_pack(
+            state.means, state.inv_chols,
+            jnp.where(state.mask, state.log_weights, NEG_INF), logdets,
+            samples, interpret=(mode == "interpret"),
+        )
+        return DensityPack(
+            component_log_densities=comp,
+            model_log_densities=model,
+            model_grads=grads,
+            prec_times_diff=None,
+        )
     y = whitened_diffs(state, samples)
     comp = component_log_densities_from_whitened(state, y)
     mask = state.mask

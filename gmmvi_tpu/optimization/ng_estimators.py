@@ -79,7 +79,7 @@ def stein_estimate(
     if pack is None:
         pack = density_pack(model, samples)
     log_ratio_grads = target_grads - pack.model_grads            # [N, D]
-    ptd = pack.prec_times_diff                                    # [Kmax, N, D]
+    ptd = pack.prec_times_diff                          # [Kmax, N, D] or None
 
     own_mask = None
     if only_use_own_samples:
@@ -119,6 +119,24 @@ def stein_estimate(
         hess = jnp.einsum(
             "kn,nd,knd->kd", w, log_ratio_grads, ptd, precision=_PREC
         )
+    elif ptd is None:
+        # moment form (fused-kernel packs carry no [K, N, D] ptd):
+        # H[k] = E[g (Lam_k(x - mu_k))^T]
+        #      = (sum_n w g (x-c)^T) Lam_k - (sum_n w g) (Lam_k (mu_k-c))^T
+        # with a global centering shift c (the active-means centroid) to
+        # avoid float cancellation when the mixture sits far from the origin
+        lam = jnp.einsum("kji,kjl->kil", model.inv_chols, model.inv_chols,
+                         precision=_PREC)
+        shift = jnp.sum(jnp.where(model.mask[:, None], model.means, 0.0), 0) \
+            / jnp.maximum(jnp.sum(model.mask), 1)
+        lam_mu = jnp.einsum("kde,ke->kd", lam, model.means - shift[None, :],
+                            precision=_PREC)
+        s_mom = jnp.einsum("kn,nd,ne->kde", w, log_ratio_grads,
+                           samples - shift[None, :], precision=_PREC)
+        hess = jnp.einsum("kdf,kfe->kde", s_mom, lam, precision=_PREC) \
+            - grad[:, :, None] * lam_mu[:, None, :]
+        if use_self_normalized_importance_weights:
+            hess = 0.5 * (hess + jnp.swapaxes(hess, -1, -2))
     else:
         # H[d, e] = E[g_d * ptd_e] — matches reference index order
         # (ng_estimator.py:165-166: grads expand to [N,D,1], ptd to [N,1,D])

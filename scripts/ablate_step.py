@@ -105,7 +105,10 @@ def main():
             model, meta, elr, state.wstep.stepsize, g.temperature)
         return model.log_weights, meta.reward_history
 
-    full = g._jitted_step
+    # note: g._jitted_step donates its argument, so time a fresh non-donating
+    # jit of the same function (re-calling the donated one with a consumed
+    # state is an error)
+    full = jax.jit(g._full_step)
 
     phases = [
         ("propose (sampling)", jax.jit(phase_propose)),
