@@ -37,6 +37,13 @@ from gmmvi_tpu.ops.stable import masked_logsumexp, NEG_INF
 
 LOG_2PI = math.log(2.0 * math.pi)
 
+# Set by GMMVI when a data-parallel mesh is configured: the fused Pallas
+# density kernel is an opaque custom call to XLA's SPMD partitioner, so under
+# a mesh it would force an all-gather of the sharded sample batch onto every
+# device.  Until the kernel is wrapped in shard_map (per-sample outputs make
+# that straightforward), SPMD runs use the partitionable XLA path.
+SPMD_ACTIVE = False
+
 # Mahalanobis / density einsums need f32-true accumulation on the MXU.
 _PREC = jax.lax.Precision.HIGHEST
 
@@ -254,6 +261,8 @@ def _fused_density_mode(state: GmmState, n: int) -> str:
         return "off"
     if state.diagonal or not pallas_density.supports(
             state.num_dimensions, state.max_components):
+        return "off"
+    if SPMD_ACTIVE and mode not in ("1", "interpret"):
         return "off"
     if mode == "interpret":
         return "interpret"

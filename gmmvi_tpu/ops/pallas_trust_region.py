@@ -1,0 +1,196 @@
+"""Batched trust-region KL evaluation as one Pallas kernel.
+
+The trust-region component updater's bisection
+(:func:`gmmvi_tpu.optimization.component_updaters._bracketing_search`)
+evaluates, per trip, KL(new_k(eta_k) || old_k) for every component k.  The
+XLA path does this with a batched ``[K, D, D]`` Cholesky plus two batched
+triangular solves per trip — XLA lowers each of those small factorizations
+to a long chain of tiny fused loops, and at the flagship shape (K=48, D=20,
+~10-15 warm-started trips) the search costs ~1.3 ms of a ~2.4 ms step.
+
+This kernel computes all K KL values in ONE fused pass with the batch on
+the **lane** axis and the (D, D) matrices on the leading/sublane axes:
+
+* ``new_prec_k = old_prec_k + reward_quad_k / eta_k`` — elementwise;
+* an unrolled static-D outer-product Cholesky: step j reads row j of the
+  (symmetric) Schur complement, rsqrt's the pivot, and applies one
+  rank-1 update ``A -= l_j l_j^T`` vectorized over all K lanes;
+* the two forward solves the KL needs (``L y = new_lin`` for the new mean
+  and ``L Y = old_inv_chol^T`` for the trace term) ride along inside the
+  same elimination — no separate triangular-solve pass;
+* an unrolled back-substitution gives the new mean, and the Mahalanobis
+  term finishes on the VPU.
+
+Non-positive pivots (the interpolated precision not PD) mark the lane
+``bad`` and its KL is F32_MAX — the same rejection signal as the XLA
+path's NaN-Cholesky check (reference: ng_based_component_updater.py:488-497).
+
+Everything is [D, D, K_pad] with K_pad on lanes, so ~D^2/1024 VPU cycles
+per elementwise op and zero relayouts; one trip costs ~10-20 us instead of
+~90 us.  The bisection loop itself stays in XLA (tiny scalar logic), calling
+this kernel once per trip.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+
+F32_MAX = 3.4028235e38
+
+try:
+    from jax.experimental import pallas as pl
+
+    _HAVE_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAVE_PALLAS = False
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+def supports(num_dimensions: int, k: int) -> bool:
+    """Envelope: VMEM for the [D, D, K_pad] buffers and unroll length."""
+    k_pad = _round_up(k, 128)
+    return (
+        _HAVE_PALLAS
+        and num_dimensions <= 64
+        and num_dimensions * num_dimensions * k_pad * 4 * 4 <= 12 * 2**20
+    )
+
+
+def _tr_kl_kernel(eta_ref, prec_ref, rq_ref, lin_ref, rlin_ref, ot_ref,
+                  mean_ref, klconst_ref, kl_ref, *, d):
+    eta = eta_ref[...]                                 # [1, B]
+    inv_eta = 1.0 / eta
+    A = prec_ref[...] + rq_ref[...] * inv_eta[None]    # [d, d, B]
+    y = lin_ref[...] + rlin_ref[...] * inv_eta         # [d, B]
+    R = ot_ref[...]                                    # [d, d, B]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (d, 1), 0)
+
+    bad = eta <= 0.0                                   # [1, B]
+    logdiag = jnp.zeros_like(eta)
+    trace_acc = jnp.zeros_like(eta)
+    ysol = jnp.zeros_like(y)
+    l_cols = []
+    for j in range(d):
+        arow = A[j]                                    # [d, B]
+        piv = arow[j:j + 1]                            # [1, B]
+        bad = jnp.logical_or(bad, piv <= 0.0)
+        piv_s = jnp.where(bad, 1.0, piv)
+        inv_l = jax.lax.rsqrt(piv_s)                   # [1, B]
+        logdiag = logdiag + 0.5 * jnp.log(piv_s)
+        mask = (rows >= j).astype(jnp.float32)         # [d, 1]
+        l_j = arow * inv_l * mask                      # [d, B] col j of L
+        y_j = y[j:j + 1] * inv_l                       # [1, B]
+        r_j = R[j] * inv_l                             # [d, B] row j of Y
+        A = A - l_j[:, None, :] * l_j[None, :, :]
+        y = y - l_j * y_j
+        R = R - l_j[:, None, :] * r_j[None, :, :]
+        onehot = (rows == j).astype(jnp.float32)
+        ysol = ysol + onehot * y_j
+        trace_acc = trace_acc + jnp.sum(r_j * r_j, axis=0, keepdims=True)
+        l_cols.append(l_j)
+
+    # back substitution: L^T m = ysol (new mean in one unrolled sweep)
+    m = jnp.zeros_like(ysol)
+    for j in range(d - 1, -1, -1):
+        l_j = l_cols[j]
+        num = ysol[j:j + 1] - jnp.sum(l_j * m, axis=0, keepdims=True)
+        val = num / l_j[j:j + 1]
+        m = m + (rows == j).astype(jnp.float32) * val
+
+    diff = mean_ref[...] - m                           # [d, B]
+    ot = ot_ref[...]
+    od = jnp.zeros_like(diff)                          # old_inv_chol @ diff
+    for j in range(d):
+        od = od + ot[j] * diff[j:j + 1]
+    mean_term = jnp.sum(od * od, axis=0, keepdims=True)
+
+    kl = 0.5 * (klconst_ref[...] + 2.0 * logdiag + trace_acc + mean_term)
+    kl = jnp.where(bad, F32_MAX, kl)
+    kl_ref[...] = jnp.broadcast_to(kl, kl_ref.shape)
+
+
+@functools.partial(jax.jit, static_argnames=("d", "interpret"))
+def _tr_kl_call(eta, prec, rq, lin, rlin, ot, mean, klconst, d,
+                interpret=False):
+    b = eta.shape[1]
+    kernel = functools.partial(_tr_kl_kernel, d=d)
+    full = lambda i: tuple([0] * 3)
+    kl = pl.pallas_call(
+        kernel,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec((1, b), lambda i: (0, 0)),
+            pl.BlockSpec((d, d, b), lambda i: (0, 0, 0)),
+            pl.BlockSpec((d, d, b), lambda i: (0, 0, 0)),
+            pl.BlockSpec((d, b), lambda i: (0, 0)),
+            pl.BlockSpec((d, b), lambda i: (0, 0)),
+            pl.BlockSpec((d, d, b), lambda i: (0, 0, 0)),
+            pl.BlockSpec((d, b), lambda i: (0, 0)),
+            pl.BlockSpec((1, b), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((8, b), lambda i: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((8, b), jnp.float32),
+        interpret=interpret,
+    )(eta, prec, rq, lin, rlin, ot, mean, klconst)
+    return kl[0]
+
+
+def prepare_tr_kl_inputs(old_means, old_chols, old_inv_chols,
+                         reward_lin, reward_quad):
+    """Pack per-component quantities into the kernel's lane-major layout.
+
+    Args are [K, ...] (full covariance); returns the tuple of device arrays
+    consumed by :func:`batched_tr_kl` plus ``kl_const`` ([K], the
+    eta-independent KL terms ``old_logdet - d``).
+    """
+    k, d = old_means.shape
+    b = _round_up(k, 128)
+    f32 = jnp.float32
+    prec_k = jnp.einsum("kji,kjl->kil", old_inv_chols, old_inv_chols,
+                        precision=jax.lax.Precision.HIGHEST)
+
+    def lanes3(x):  # [K, d, d] -> [d, d, B]
+        return jnp.zeros((d, d, b), f32).at[:, :, :k].set(
+            jnp.transpose(x, (1, 2, 0)))
+
+    def lanes2(x):  # [K, d] -> [d, B]
+        return jnp.zeros((d, b), f32).at[:, :k].set(jnp.transpose(x, (1, 0)))
+
+    old_logdet = 2.0 * jnp.sum(
+        jnp.log(jnp.abs(jnp.diagonal(old_chols, axis1=-2, axis2=-1))), -1)
+    old_lin = jnp.einsum("kij,kj->ki", prec_k, old_means,
+                         precision=jax.lax.Precision.HIGHEST)
+    kl_const = old_logdet - d
+
+    packed = dict(
+        prec=lanes3(prec_k),
+        rq=lanes3(reward_quad),
+        lin=lanes2(old_lin),
+        rlin=lanes2(reward_lin),
+        # row j of the solve RHS Y = L^{-1} O^T is column j of O
+        ot=lanes3(jnp.transpose(old_inv_chols, (0, 2, 1))),
+        mean=lanes2(old_means),
+        klconst=jnp.zeros((1, b), f32).at[0, :k].set(kl_const),
+    )
+    return packed
+
+
+def batched_tr_kl(etas, packed, d, interpret=False):
+    """KL(new_k(eta_k) || old_k) for all components in one kernel call.
+
+    ``etas``: [K]; ``packed``: from :func:`prepare_tr_kl_inputs`.  Returns
+    [K] with F32_MAX for infeasible (non-PD) etas.
+    """
+    k = etas.shape[0]
+    b = packed["klconst"].shape[1]
+    eta = jnp.zeros((1, b), jnp.float32).at[0, :k].set(etas)
+    kl = _tr_kl_call(eta, packed["prec"], packed["rq"], packed["lin"],
+                     packed["rlin"], packed["ot"], packed["mean"],
+                     packed["klconst"], d=d, interpret=interpret)
+    return kl[:k]

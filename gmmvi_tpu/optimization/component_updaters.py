@@ -310,6 +310,135 @@ def _bracketing_search(kl_fn, kl_bound, lower0, upper0):
     return jnp.exp(lower), jnp.exp(upper)
 
 
+def _bracketing_search_batched(kl_eval, kl_bound, lower0, upper0):
+    """Array form of :func:`_bracketing_search`: all carries are [K] vectors
+    and ``kl_eval`` maps etas [K] -> KLs [K] in one call (the Pallas batched
+    KL kernel).  Semantically identical to vmapping the scalar search — the
+    vmapped ``while_loop`` already runs in lockstep with masked per-element
+    updates; this version just replaces its per-trip batched Cholesky chain
+    with one fused kernel call."""
+
+    def cond(carry):
+        _, _, _, done, it = carry
+        return jnp.any(jnp.logical_and(jnp.logical_not(done), it < 1000))
+
+    def body(carry):
+        lower, upper, upper_ok, done, it = carry
+        active = jnp.logical_and(jnp.logical_not(done), it < 1000)
+        eta = 0.5 * (lower + upper)
+        kl = kl_eval(jnp.exp(eta))
+        diff = jnp.minimum(
+            jnp.exp(upper) - jnp.exp(eta), jnp.exp(eta) - jnp.exp(lower)
+        )
+        stop_width = diff < 1e-1
+        good = jnp.abs(kl_bound - kl) < 1e-1 * kl_bound
+        go_low = kl_bound > kl
+
+        new_lower = jnp.where(
+            stop_width, lower,
+            jnp.where(good, eta, jnp.where(go_low, lower, eta)),
+        )
+        new_upper = jnp.where(
+            stop_width, upper,
+            jnp.where(good, eta, jnp.where(go_low, eta, upper)),
+        )
+        new_upper_ok = jnp.where(
+            jnp.logical_and(~stop_width, ~good),
+            jnp.logical_or(upper_ok, go_low),
+            upper_ok,
+        )
+        new_done = jnp.logical_or(stop_width, good)
+
+        lower = jnp.where(active, new_lower, lower)
+        upper = jnp.where(active, new_upper, upper)
+        upper_ok = jnp.where(active, new_upper_ok, upper_ok)
+        done = jnp.where(active, new_done, done)
+        it = jnp.where(active, it + 1, it)
+        return lower, upper, upper_ok, done, it
+
+    k = lower0.shape[0]
+    lower, upper, upper_ok, _, _ = jax.lax.while_loop(
+        cond, body,
+        (lower0, upper0, jnp.zeros((k,), bool), jnp.zeros((k,), bool),
+         jnp.zeros((k,), jnp.int32)),
+    )
+    lower = jnp.where(upper_ok, upper, lower)
+    return jnp.exp(lower), jnp.exp(upper)
+
+
+def _tr_pallas_mode() -> str:
+    """'pallas' | 'interpret' | 'off' for the batched trust-region KL kernel
+    (GMMVI_FUSED_TR=0 disables, =1 forces, =interpret for CPU tests)."""
+    import os
+
+    mode = os.environ.get("GMMVI_FUSED_TR", "auto")
+    if mode == "0":
+        return "off"
+    if mode == "interpret":
+        return "interpret"
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        on_tpu = False
+    if mode == "1" or on_tpu:
+        return "pallas"
+    return "off"
+
+
+def _trust_region_update_pallas(model, meta, hessians_neg, grads_neg,
+                                stepsizes, temperature, interpret=False):
+    """Full-covariance trust-region update with the per-trip KL evaluation
+    fused into one Pallas kernel (gmmvi_tpu/ops/pallas_trust_region.py).
+
+    The bisection's visited-eta sequence and stopping decisions match
+    :func:`_bracketing_search` (the kernel computes the same KL as
+    :func:`_tr_kl_full` to ~1e-6 relative); the final accepted update is
+    reconstructed with the XLA path at the found eta."""
+    from gmmvi_tpu.ops import pallas_trust_region as ptr
+
+    means, chols, inv_chols = model.means, model.chols, model.inv_chols
+    k, d = means.shape
+    reward_quad = hessians_neg
+    reward_lin = jnp.einsum("kij,kj->ki", reward_quad, means,
+                            precision=_PREC) - grads_neg
+    old_prec, old_lin = _old_canonical(model)
+    old_logdet = 2.0 * jnp.sum(
+        jnp.log(jnp.abs(jnp.diagonal(chols, axis1=-2, axis2=-1))), -1)
+    kl_const = old_logdet - d
+
+    packed = ptr.prepare_tr_kl_inputs(means, chols, inv_chols,
+                                      reward_lin, reward_quad)
+    kl_eval = lambda etas: ptr.batched_tr_kl(etas, packed, d=d,
+                                             interpret=interpret)
+
+    last = meta.last_etas
+    no_warm = last < 0
+    log_last = jnp.log(jnp.abs(last) + 1e-30)
+    lower0 = jnp.where(no_warm, -20.0, jnp.maximum(0.0, log_last - 3.0))
+    upper0 = jnp.where(no_warm, 80.0, log_last + 3.0)
+
+    exp_lower, exp_upper = _bracketing_search_batched(
+        kl_eval, stepsizes, lower0, upper0)
+    eta = jnp.maximum(exp_lower, temperature)  # (reference line 476)
+    success = exp_lower == exp_upper
+
+    kl, new_means, inv_chol_p = jax.vmap(_tr_kl_full)(
+        eta, old_lin, old_prec, inv_chols, reward_lin, reward_quad,
+        kl_const, means)
+    new_cov = jnp.einsum("kji,kjl->kil", inv_chol_p, inv_chol_p,
+                         precision=_PREC)
+    new_chols = jnp.linalg.cholesky(new_cov)
+    chol_ok = jnp.logical_not(jnp.any(jnp.isnan(new_chols), axis=(-2, -1)))
+    success = success & (kl < F32_MAX) & chol_ok
+
+    sel = success & model.mask
+    new_means = jnp.where(sel[:, None], new_means, means)
+    new_chols = jnp.where(sel[:, None, None], new_chols, chols)
+    etas = jnp.where(success, eta, -1.0)
+    return _finish_update(model, meta, new_means, new_chols, success,
+                          etas=etas)
+
+
 def _tr_grid_search(kl_fn, kl_bound, lower0, upper0, grid_size):
     """Two-level parallel grid search for the trust-region stepsize.
 
@@ -501,7 +630,20 @@ def trust_region_update(
     ``search="grid"`` (tpu.trust_region_search: grid) finds the stepsize with
     two fully-batched grid passes — much lower latency on accelerators, same
     trust-region semantics up to grid resolution.
+
+    On TPU the full-covariance bracket path fuses each trip's batched KL
+    evaluation into one Pallas kernel (see
+    :mod:`gmmvi_tpu.ops.pallas_trust_region`).
     """
+    if search == "bracket" and not model.diagonal:
+        from gmmvi_tpu.ops import pallas_trust_region as ptr
+
+        mode = _tr_pallas_mode()
+        if mode != "off" and ptr.supports(model.num_dimensions,
+                                          model.max_components):
+            return _trust_region_update_pallas(
+                model, meta, hessians_neg, grads_neg, stepsizes,
+                temperature, interpret=(mode == "interpret"))
     upd = jax.vmap(
         partial(_tr_update_one, temperature=temperature,
                 diagonal=model.diagonal, search=search, grid_size=grid_size)

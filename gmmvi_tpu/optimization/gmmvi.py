@@ -112,6 +112,11 @@ class GMMVI:
             None if prior_cov_diag is None else jnp.asarray(prior_cov_diag)
         )
         self.mesh = mesh
+        if mesh is not None:
+            # see gmm.SPMD_ACTIVE: keep the density pass partitionable
+            from gmmvi_tpu.models import gmm as _gmm_module
+
+            _gmm_module.SPMD_ACTIVE = True
         self.trust_region_search = trust_region_search
         self.trust_region_grid_size = int(trust_region_grid_size)
         self._steps_to_capacity_check = 1
@@ -218,12 +223,18 @@ class GMMVI:
     # ------------------------------------------------------------------
     # Phases
     # ------------------------------------------------------------------
-    def _shard_batch(self, x: jnp.ndarray) -> jnp.ndarray:
+    def _shard_batch(self, x: jnp.ndarray, axis: int = 0) -> jnp.ndarray:
+        """Constrain ``axis`` of ``x`` to the mesh's data axis.  Pinning every
+        major per-sample intermediate (not just the batch itself) keeps XLA's
+        SPMD propagation from electing to all-gather the batch and compute
+        replicated (its cost model prefers that surprisingly often)."""
         if self.mesh is None:
             return x
-        spec = jax.sharding.PartitionSpec("data", *([None] * (x.ndim - 1)))
+        dims = [None] * x.ndim
+        dims[axis] = "data"
         return jax.lax.with_sharding_constraint(
-            x, jax.sharding.NamedSharding(self.mesh, spec)
+            x, jax.sharding.NamedSharding(
+                self.mesh, jax.sharding.PartitionSpec(*dims))
         )
 
     def _propose_phase(self, state: TrainState):
@@ -253,10 +264,7 @@ class GMMVI:
         db, window, pack = sel_ops.finalize_fused(
             state.model, state.db, self.selector_cfg, iteration, prop,
             lnpdfs, grads, k_db,
-        )
-        window = window.replace(
-            samples=self._shard_batch(window.samples),
-            target_grads=self._shard_batch(window.target_grads),
+            shard_fn=self._shard_batch if self.mesh is not None else None,
         )
 
         model, meta, wstep = self._run_updates(state.model, state.meta,
@@ -363,6 +371,8 @@ class GMMVI:
         """Whole iteration as one compiled program (jit-safe targets)."""
         state, prop = self._propose_phase(state)
         lnpdfs, grads = self._eval_target_bucketed(prop.samples, prop.valid)
+        # pin target outputs per-sample so the target evaluates shardwise
+        lnpdfs, grads = self._shard_batch(lnpdfs), self._shard_batch(grads)
 
         prior_samples = prior_lnpdfs = None
         if (

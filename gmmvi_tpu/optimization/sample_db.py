@@ -353,12 +353,20 @@ def get_newest_samples_fused(
     model: GmmState,
     iteration: jnp.ndarray,
     any_old_dists: bool,
+    shard_fn=None,
 ):
     """Like :func:`get_newest_samples`, but shares the current-model density
     pass with the caller: returns ``(SampleWindow, DensityPack)`` where the
     pack's per-component log-densities double as the background densities for
     every sample generated at ``iteration`` (their ring snapshot *is* the
     current model — written by :func:`add_samples` this iteration).
+
+    ``shard_fn`` (data-parallel runs) constrains the gathered window arrays
+    to the mesh's sample axis BEFORE the density passes, so the ``[Kmax, W]``
+    current-model pass and the ``[U, W]`` background pass both compute on
+    sharded samples and only the per-component moment reductions cross
+    devices — without it the whole window pass runs replicated on every
+    device (the round-1 hidden all-gather).
 
     ``any_old_dists`` is a static flag: with no sample reuse the window can
     only contain this iteration's samples, so the entire ``[U, W]`` ring pass
@@ -384,8 +392,24 @@ def get_newest_samples_fused(
 
     samples, lnpdfs, grads, comp, valid, dist_key, sample_iters = \
         _gather_window(db, window, n_requested)
+    if shard_fn is not None:
+        samples, lnpdfs, grads, valid = (
+            shard_fn(samples), shard_fn(lnpdfs), shard_fn(grads),
+            shard_fn(valid),
+        )
 
     pack = density_pack(model, samples)  # [Kmax, W] current-model pass
+    if shard_fn is not None:
+        # pin the pack's per-sample outputs too, or SPMD propagation may
+        # gather the batch and recompute the pass replicated
+        pack = pack.replace(
+            component_log_densities=shard_fn(pack.component_log_densities,
+                                             axis=1),
+            model_log_densities=shard_fn(pack.model_log_densities),
+            model_grads=shard_fn(pack.model_grads),
+            prec_times_diff=None if pack.prec_times_diff is None
+            else shard_fn(pack.prec_times_diff, axis=1),
+        )
 
     cur_row = iteration % r
     is_cur = dist_key // kmax == cur_row
@@ -445,6 +469,8 @@ def get_newest_samples_fused(
         )
         bg = masked_logsumexp(stacked, mask=stacked_mask, axis=0)
 
+    if shard_fn is not None:
+        bg = shard_fn(bg)
     win = SampleWindow(
         samples=samples,
         mapping=comp,

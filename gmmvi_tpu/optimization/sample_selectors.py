@@ -181,11 +181,14 @@ def finalize_fused(
     target_lnpdfs: jnp.ndarray,
     target_grads: jnp.ndarray,
     key: jnp.ndarray,
+    shard_fn=None,
 ):
     """Like :func:`finalize`, but also returns the current-model
     :class:`~gmmvi_tpu.models.gmm.DensityPack` over the window — the single
     fused density pass shared between the background mixture and the
-    natural-gradient estimator (one pass per step instead of three)."""
+    natural-gradient estimator (one pass per step instead of three).
+    ``shard_fn`` constrains the window to the data-parallel mesh before the
+    density passes (see :func:`sample_db.get_newest_samples_fused`)."""
     db = db_ops.add_samples(
         db, iteration, model,
         proposal.samples, proposal.valid, proposal.mapping,
@@ -197,5 +200,6 @@ def finalize_fused(
         db, w_total, proposal.num_reused + n_new, cfg.max_background_dists,
         model, iteration,
         any_old_dists=cfg.reused_samples_per_component > 0,
+        shard_fn=shard_fn,
     )
     return db, win, pack

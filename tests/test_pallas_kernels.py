@@ -134,3 +134,101 @@ def test_stein_moment_form_matches_ptd_form():
         np.testing.assert_allclose(np.asarray(e1.expected_hessians_neg),
                                    np.asarray(e2.expected_hessians_neg),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_tr_kl_kernel_matches_xla():
+    """The batched trust-region KL kernel (interpret mode) matches
+    _tr_kl_full per component, including infeasibility (non-PD) flags."""
+    from gmmvi_tpu.optimization.component_updaters import _tr_kl_full
+    from gmmvi_tpu.ops.pallas_trust_region import (
+        F32_MAX, batched_tr_kl, prepare_tr_kl_inputs,
+    )
+
+    rng = np.random.RandomState(0)
+    k, d = 7, 5
+    means = rng.randn(k, d).astype(np.float32) * 3
+    a = rng.randn(k, d, d).astype(np.float32) * 0.4
+    covs = np.einsum("kij,klj->kil", a, a) + np.eye(d, dtype=np.float32)
+    chols = np.linalg.cholesky(covs).astype(np.float32)
+    inv_chols = np.stack([np.linalg.inv(c) for c in chols]).astype(np.float32)
+    h = rng.randn(k, d, d).astype(np.float32) * 0.5
+    # indefinite curvature so small etas go infeasible
+    reward_quad = (np.einsum("kij,klj->kil", h, h)
+                   - 0.3 * np.eye(d, dtype=np.float32)).astype(np.float32)
+    reward_lin = rng.randn(k, d).astype(np.float32)
+
+    prec = np.einsum("kji,kjl->kil", inv_chols, inv_chols)
+    old_lin = np.einsum("kij,kj->ki", prec, means)
+    old_logdet = 2 * np.sum(
+        np.log(np.abs(np.diagonal(chols, axis1=-2, axis2=-1))), -1)
+    kl_const = old_logdet - d
+
+    packed = prepare_tr_kl_inputs(
+        jnp.asarray(means), jnp.asarray(chols), jnp.asarray(inv_chols),
+        jnp.asarray(reward_lin), jnp.asarray(reward_quad))
+    n_inf = 0
+    for scale in (0.5, 2.0, 50.0):
+        etas = jnp.asarray(
+            rng.uniform(0.3, 1.0, k).astype(np.float32) * scale)
+        got = np.asarray(batched_tr_kl(etas, packed, d=d, interpret=True))
+        ref = np.asarray([
+            float(_tr_kl_full(
+                etas[i], jnp.asarray(old_lin[i]), jnp.asarray(prec[i]),
+                jnp.asarray(inv_chols[i]), jnp.asarray(reward_lin[i]),
+                jnp.asarray(reward_quad[i]), kl_const[i],
+                jnp.asarray(means[i]))[0])
+            for i in range(k)
+        ])
+        inf = ref > 1e37
+        n_inf += int(inf.sum())
+        np.testing.assert_array_equal(got > 1e37, inf)
+        np.testing.assert_allclose(got[~inf], ref[~inf], rtol=1e-5,
+                                   atol=1e-5)
+    assert n_inf > 0  # the infeasible branch was exercised
+
+
+def test_tr_update_pallas_matches_xla_path():
+    """trust_region_update via the fused kernel (interpret) is bitwise equal
+    to the vmapped XLA bisection: same visited-eta sequence, same final
+    reconstruction."""
+    import os
+
+    from gmmvi_tpu.models import gmm as G
+    from gmmvi_tpu.models.meta import create_meta_state
+    import gmmvi_tpu.optimization.component_updaters as CU
+
+    rng = np.random.RandomState(3)
+    k, kmax, d = 5, 8, 6
+    means = rng.randn(k, d).astype(np.float32) * 2
+    a = rng.randn(k, d, d).astype(np.float32) * 0.4
+    covs = np.einsum("kij,klj->kil", a, a) + np.eye(d, dtype=np.float32)
+    w = rng.dirichlet(np.ones(k)).astype(np.float32)
+    model = G.create_gmm_state(w, means, covs, max_components=kmax)
+    meta = create_meta_state(model, initial_stepsize=0.01,
+                             initial_regularizer=1e-12,
+                             max_reward_history_length=10)
+    meta = meta.replace(last_etas=jnp.asarray(
+        [5.0, -1.0, 20.0, -1.0, 2.0, -1.0, -1.0, -1.0], jnp.float32))
+    h = rng.randn(kmax, d, d).astype(np.float32) * 0.3
+    hneg = jnp.asarray(np.einsum("kij,klj->kil", h, h)
+                       + 0.05 * np.eye(d, dtype=np.float32))
+    gneg = jnp.asarray(rng.randn(kmax, d).astype(np.float32))
+    steps = jnp.asarray(np.full(kmax, 0.05, np.float32))
+
+    old = os.environ.get("GMMVI_FUSED_TR")
+    try:
+        os.environ["GMMVI_FUSED_TR"] = "interpret"
+        r_pal = CU.trust_region_update(model, meta, hneg, gneg, steps)
+        os.environ["GMMVI_FUSED_TR"] = "0"
+        r_xla = CU.trust_region_update(model, meta, hneg, gneg, steps)
+    finally:
+        if old is None:
+            os.environ.pop("GMMVI_FUSED_TR", None)
+        else:
+            os.environ["GMMVI_FUSED_TR"] = old
+    np.testing.assert_array_equal(np.asarray(r_pal.model.means),
+                                  np.asarray(r_xla.model.means))
+    np.testing.assert_array_equal(np.asarray(r_pal.model.chols),
+                                  np.asarray(r_xla.model.chols))
+    np.testing.assert_array_equal(np.asarray(r_pal.meta.last_etas),
+                                  np.asarray(r_xla.meta.last_etas))
