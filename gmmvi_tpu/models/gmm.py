@@ -167,16 +167,27 @@ def chol_log_det(chols: jnp.ndarray, diagonal: bool) -> jnp.ndarray:
     return jnp.sum(jnp.log(jnp.diagonal(chols, axis1=-2, axis2=-1)), axis=-1)
 
 
-def whitened_diffs(state: GmmState, samples: jnp.ndarray) -> jnp.ndarray:
+def whitened_diffs(
+    state: GmmState, samples: jnp.ndarray, shard_fn=None
+) -> jnp.ndarray:
     """``y[k, n] = L_k^{-1} (x_n - mu_k)``, shape ``[Kmax, N, D]``.
 
     The single hot intermediate: batched matmul on the MXU (reference computes
-    this with triangular solves at full_cov_gmm.py:56-62).
+    this with triangular solves at full_cov_gmm.py:56-62).  ``shard_fn`` pins
+    the ``[Kmax, N, D]`` intermediates to the mesh's sample axis (see
+    :func:`density_pack`).
     """
     diffs = samples[None, :, :] - state.means[:, None, :]
+    if shard_fn is not None:
+        diffs = shard_fn(diffs, axis=1)
     if state.diagonal:
-        return state.inv_chols[:, None, :] * diffs
-    return jnp.einsum("kij,knj->kni", state.inv_chols, diffs, precision=_PREC)
+        y = state.inv_chols[:, None, :] * diffs
+    else:
+        y = jnp.einsum("kij,knj->kni", state.inv_chols, diffs,
+                       precision=_PREC)
+    if shard_fn is not None:
+        y = shard_fn(y, axis=1)
+    return y
 
 
 def component_log_densities_from_whitened(
@@ -189,10 +200,13 @@ def component_log_densities_from_whitened(
     return maha + const[:, None]
 
 
-def component_log_densities(state: GmmState, samples: jnp.ndarray) -> jnp.ndarray:
+def component_log_densities(
+    state: GmmState, samples: jnp.ndarray, shard_fn=None
+) -> jnp.ndarray:
     """``[Kmax, N]`` log N(x_n; mu_k, Sigma_k). Inactive slots give garbage —
     always combine with ``state.mask``. (reference: full_cov_gmm.py:56-62)"""
-    return component_log_densities_from_whitened(state, whitened_diffs(state, samples))
+    return component_log_densities_from_whitened(
+        state, whitened_diffs(state, samples, shard_fn=shard_fn))
 
 
 def log_density(state: GmmState, samples: jnp.ndarray) -> jnp.ndarray:
@@ -204,10 +218,11 @@ def log_density(state: GmmState, samples: jnp.ndarray) -> jnp.ndarray:
 
 
 def log_densities_also_individual(
-    state: GmmState, samples: jnp.ndarray
+    state: GmmState, samples: jnp.ndarray, shard_fn=None
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(model log densities [N], component log densities [Kmax, N]).
-    (reference: gmm.py:183-201)"""
+    (reference: gmm.py:183-201)  ``shard_fn`` pins the pass to the mesh's
+    sample axis (see :func:`density_pack`)."""
     mode = _fused_density_mode(state, samples.shape[0])
     if mode != "off":
         from gmmvi_tpu.ops.pallas_density import fused_component_densities
@@ -222,7 +237,7 @@ def log_densities_also_individual(
             samples, interpret=(mode == "interpret"),
         )
         return model, comp
-    comp = component_log_densities(state, samples)
+    comp = component_log_densities(state, samples, shard_fn=shard_fn)
     model = masked_logsumexp(
         comp + state.log_weights[:, None], mask=state.mask[:, None], axis=0
     )
@@ -277,7 +292,9 @@ def _fused_density_mode(state: GmmState, n: int) -> str:
     return "off"
 
 
-def density_pack(state: GmmState, samples: jnp.ndarray) -> DensityPack:
+def density_pack(
+    state: GmmState, samples: jnp.ndarray, shard_fn=None
+) -> DensityPack:
     """One fused pass computing densities, analytic mixture grads, and the
     Stein intermediate ``Sigma^{-1}(x-mu)``.
 
@@ -286,6 +303,15 @@ def density_pack(state: GmmState, samples: jnp.ndarray) -> DensityPack:
     GradientTape pass (gmm.py:274-300) with shared MXU matmuls; on TPU the
     whole pass runs as one Pallas kernel (see
     :mod:`gmmvi_tpu.ops.pallas_density`).
+
+    ``shard_fn`` (data-parallel runs) pins the ``[Kmax, N, D]`` intermediates
+    to the mesh's sample axis.  Pinning only the pack's *outputs* is not
+    enough: XLA's SPMD partitioner then elects to compute the diff/whitening
+    chain K-sharded — all-gathering the sample batch onto every device and
+    all-to-all'ing the result back to the requested N-sharding (measured by
+    scripts/analyze_collectives.py: 2x 768 KB all-gather + 4.6 MB all-to-all
+    per step at the flagship shape).  Pinning the intermediates keeps the
+    whole chain local: samples stay sharded, means/chols replicated.
     """
     mode = _fused_density_mode(state, samples.shape[0])
     if mode != "off":
@@ -306,7 +332,7 @@ def density_pack(state: GmmState, samples: jnp.ndarray) -> DensityPack:
             model_grads=grads,
             prec_times_diff=None,
         )
-    y = whitened_diffs(state, samples)
+    y = whitened_diffs(state, samples, shard_fn=shard_fn)
     comp = component_log_densities_from_whitened(state, y)
     mask = state.mask
     weighted = comp + state.log_weights[:, None]
@@ -317,6 +343,8 @@ def density_pack(state: GmmState, samples: jnp.ndarray) -> DensityPack:
         ptd = state.inv_chols[:, None, :] * y  # [Kmax, N, D]
     else:
         ptd = jnp.einsum("kji,knj->kni", state.inv_chols, y, precision=_PREC)
+    if shard_fn is not None:
+        ptd = shard_fn(ptd, axis=1)
     grads = -jnp.einsum("kn,knd->nd", resp, ptd, precision=_PREC)
     return DensityPack(
         component_log_densities=comp,

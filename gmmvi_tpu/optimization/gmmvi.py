@@ -239,7 +239,10 @@ class GMMVI:
 
     def _propose_phase(self, state: TrainState):
         key, k_sel = jax.random.split(state.key)
-        prop = sel_ops.propose(state.model, state.db, self.selector_cfg, k_sel)
+        prop = sel_ops.propose(
+            state.model, state.db, self.selector_cfg, k_sel,
+            shard_fn=self._shard_batch if self.mesh is not None else None,
+        )
         prop = prop._replace(samples=self._shard_batch(prop.samples))
         return state.replace(key=key), prop
 
@@ -352,6 +355,7 @@ class GMMVI:
             window.background_log_pdfs, window.target_lnpdfs,
             self.temperature,
             self.weight_updater_cfg["use_self_normalized_importance_weights"],
+            shard_fn=self._shard_batch if self.mesh is not None else None,
         )
         if self.weight_updater_type == "direct":
             model, meta = w_ops.direct_weight_update(

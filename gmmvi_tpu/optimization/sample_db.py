@@ -223,18 +223,26 @@ class SampleWindow:
         return jnp.logical_and(self.valid, self.sample_iters == newest)
 
 
-def _dist_log_pdfs(db: SampleDbState, means, inv_chols, log_dets, x):
+def _dist_log_pdfs(db: SampleDbState, means, inv_chols, log_dets, x,
+                   shard_fn=None):
     """log N(x; mu_u, Sigma_u) for U dists x W samples -> [U, W].
 
     Uses cached inverse Cholesky factors: batched matmul (MXU), the TPU
-    equivalent of reference sample_db.py:154-162.
+    equivalent of reference sample_db.py:154-162.  ``shard_fn`` pins the
+    ``[U, W, D]`` intermediates to the mesh's sample axis (see
+    :func:`gmmvi_tpu.models.gmm.density_pack` for why pinning only the
+    output is insufficient under SPMD).
     """
     d = db.num_dimensions
     diffs = x[None, :, :] - means[:, None, :]  # [U, W, D]
+    if shard_fn is not None:
+        diffs = shard_fn(diffs, axis=1)
     if db.diagonal:
         y = inv_chols[:, None, :] * diffs
     else:
         y = jnp.einsum("uij,uwj->uwi", inv_chols, diffs, precision=_PREC)
+    if shard_fn is not None:
+        y = shard_fn(y, axis=1)
     maha = -0.5 * jnp.sum(jnp.square(y), axis=-1)
     return maha - log_dets[:, None] - 0.5 * d * LOG_2PI
 
@@ -290,6 +298,7 @@ def get_newest_samples(
     window: int,
     n_requested: jnp.ndarray,
     max_background_dists: int,
+    shard_fn=None,
 ) -> SampleWindow:
     """Return (up to) the ``n_requested`` newest valid samples within a static
     ``window``-sized frame, with count-weighted background mixture densities.
@@ -297,6 +306,10 @@ def get_newest_samples(
     ``max_background_dists`` bounds the number of distinct generating
     distributions evaluated; the least-used dists beyond the bound have their
     samples masked out of the window.  (reference: sample_db.py:194-228)
+
+    ``shard_fn`` (data-parallel runs) pins the window and its background
+    density pass to the mesh's sample axis (see
+    :func:`get_newest_samples_fused`).
     """
     if not isinstance(db, SampleDbState):
         from gmmvi_tpu.optimization import sample_db_decimate as dec
@@ -307,6 +320,11 @@ def get_newest_samples(
 
     samples, lnpdfs, grads, comp, valid, dist_key, sample_iters = \
         _gather_window(db, window, n_requested)
+    if shard_fn is not None:
+        samples, lnpdfs, grads, valid = (
+            shard_fn(samples), shard_fn(lnpdfs), shard_fn(grads),
+            shard_fn(valid),
+        )
 
     # count-weighted distinct dists in the window (sample_db.py:221-227)
     counts = jnp.zeros((r * kmax,), jnp.float32).at[
@@ -328,7 +346,8 @@ def get_newest_samples(
     )
 
     means_u, inv_u, log_dets_u = _gather_dists(db, top_keys)
-    log_pdfs = _dist_log_pdfs(db, means_u, inv_u, log_dets_u, samples)  # [U, W]
+    log_pdfs = _dist_log_pdfs(db, means_u, inv_u, log_dets_u, samples,
+                              shard_fn=shard_fn)  # [U, W]
     bg = masked_logsumexp(
         log_pdfs + log_weights[:, None], mask=sel_mask[:, None], axis=0
     )
@@ -398,7 +417,7 @@ def get_newest_samples_fused(
             shard_fn(valid),
         )
 
-    pack = density_pack(model, samples)  # [Kmax, W] current-model pass
+    pack = density_pack(model, samples, shard_fn=shard_fn)  # [Kmax, W] pass
     if shard_fn is not None:
         # pin the pack's per-sample outputs too, or SPMD propagation may
         # gather the batch and recompute the pass replicated
@@ -458,7 +477,8 @@ def get_newest_samples_fused(
         )
 
         means_u, inv_u, log_dets_u = _gather_dists(db, top_keys)
-        old_pdfs = _dist_log_pdfs(db, means_u, inv_u, log_dets_u, samples)
+        old_pdfs = _dist_log_pdfs(db, means_u, inv_u, log_dets_u, samples,
+                                  shard_fn=shard_fn)
 
         stacked = jnp.concatenate(
             [pack.component_log_densities + log_w_cur[:, None],

@@ -83,9 +83,14 @@ def propose(
     db: SampleDbState,
     cfg: SelectorConfig,
     key: jnp.ndarray,
+    shard_fn=None,
 ) -> Proposal:
     """Pass 1 + fresh-sample draw (reference: sample_selector.py:160-211 /
-    279-325)."""
+    279-325).
+
+    ``shard_fn`` (data-parallel runs) pins the reuse window and the ESS
+    density pass to the mesh's sample axis, keeping the ``[K, W]`` pass-1
+    computation shardwise (see :func:`gmmvi_tpu.models.gmm.density_pack`)."""
     kmax = model.max_components
     n_des = cfg.desired_samples_per_component
     w_reuse = reuse_window_size(cfg, kmax)
@@ -93,7 +98,8 @@ def propose(
 
     if w_reuse > 0:
         win = db_ops.get_newest_samples(
-            db, w_reuse, n_requested, cfg.max_background_dists
+            db, w_reuse, n_requested, cfg.max_background_dists,
+            shard_fn=shard_fn,
         )
         num_reused = win.num_valid
     else:
@@ -102,7 +108,8 @@ def propose(
 
     if cfg.is_vips:
         if win is not None:
-            comp_ld = gmm_ops.component_log_densities(model, win.samples)
+            comp_ld = gmm_ops.component_log_densities(
+                model, win.samples, shard_fn=shard_fn)
             n_eff = _effective_samples(
                 comp_ld, win.background_log_pdfs, win.valid
             )

@@ -36,11 +36,14 @@ def expected_log_ratios(
     target_lnpdfs: jnp.ndarray,  # [N]
     temperature: float,
     use_self_normalized_importance_weights: bool,
+    shard_fn=None,
 ) -> Tuple[jnp.ndarray, MetaState]:
     """Per-component MC estimate of E_{q(x|o)}[log p(x) - T log q(x)]; also
     stores the component rewards T*log w_o + E[log ratio] into the reward
-    history (reference: weight_updater.py:56-75)."""
-    model_densities, comp_log_densities = log_densities_also_individual(model, samples)
+    history (reference: weight_updater.py:56-75).  ``shard_fn`` pins the
+    updated-model density pass to the mesh's sample axis."""
+    model_densities, comp_log_densities = log_densities_also_individual(
+        model, samples, shard_fn=shard_fn)
     log_ratios = target_lnpdfs - temperature * model_densities
 
     log_iw = comp_log_densities - background[None, :]
