@@ -107,6 +107,8 @@ def update_config(default_values: dict, updates: Mapping) -> dict:
     return _deep_merge(updated, updates)
 
 
+from gmmvi_tpu.configs.validate import ConfigError, validate_config  # noqa: E402
+
 ALL_CODENAME_LETTERS = {
     "ng_estimator": "SZ",
     "component_adaptation": "AE",

@@ -209,6 +209,29 @@ def component_log_densities(
         state, whitened_diffs(state, samples, shard_fn=shard_fn))
 
 
+def component_log_densities_fast(
+    state: GmmState, samples: jnp.ndarray, shard_fn=None
+) -> jnp.ndarray:
+    """Like :func:`component_log_densities`, but routed through the fused
+    Pallas kernel on TPU (one streamed pass, no ``[Kmax, N, D]`` HBM
+    intermediates).  Values match the XLA path up to float rounding."""
+    mode = _fused_density_mode(state, samples.shape[0])
+    if mode != "off":
+        from gmmvi_tpu.ops.pallas_density import fused_component_densities
+
+        logdets = jnp.sum(
+            jnp.log(jnp.abs(jnp.diagonal(state.chols, axis1=-2, axis2=-1))),
+            axis=-1,
+        )
+        comp, _ = fused_component_densities(
+            state.means, state.inv_chols,
+            jnp.where(state.mask, state.log_weights, NEG_INF), logdets,
+            samples, interpret=(mode == "interpret"),
+        )
+        return comp
+    return component_log_densities(state, samples, shard_fn=shard_fn)
+
+
 def log_density(state: GmmState, samples: jnp.ndarray) -> jnp.ndarray:
     """``[N]`` mixture log density (reference: gmm.py:203-216)."""
     comp = component_log_densities(state, samples)

@@ -57,6 +57,7 @@ _MAX_KD = 2048
 
 try:
     from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
     _HAVE_PALLAS = True
 except Exception:  # pragma: no cover
@@ -204,6 +205,148 @@ def _fused_density_call(w1, b1, w2, b2, logdets, logws, x, d, k_pad,
         interpret=interpret,
     )(w1, b1, w2, b2, logdets, logws, x)
     return comp, model, grads
+
+
+def _background_kernel(w1_ref, b1_ref, logdet_ref, logw_ref, x_ref,
+                       out_ref, m_ref, s_ref, *, d, u_tile):
+    """One grid step = one (N-tile, U-tile) pair; U is the inner grid axis.
+
+    Streams the count-weighted mixture logsumexp over U-tiles with flash-
+    attention-style online accumulators (running max ``m`` and rescaled sum
+    ``s`` in VMEM scratch), so the ``[U, N]`` logit matrix and the
+    ``[U, N, D]`` whitening chain never touch HBM — the only HBM output is
+    the ``[N]`` background log-density."""
+    j = pl.program_id(1)
+    last = pl.num_programs(1) - 1
+    t = x_ref.shape[1]
+
+    y = jax.lax.dot_general(
+        w1_ref[...], x_ref[...], (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    ) - b1_ref[...]                                          # [u_tile*d, T]
+    maha = jnp.sum((y * y).reshape(u_tile, d, t), axis=1)    # [u_tile, T]
+    c = -0.5 * maha - logdet_ref[...] - 0.5 * d * LOG_2PI + logw_ref[...]
+    c = jnp.maximum(c, _BIG_NEG)
+
+    tile_max = jnp.broadcast_to(jnp.max(c, axis=0, keepdims=True),
+                                m_ref.shape)                 # [8, T]
+
+    @pl.when(j == 0)
+    def _():
+        m_ref[...] = jnp.full(m_ref.shape, _BIG_NEG, jnp.float32)
+        s_ref[...] = jnp.zeros(s_ref.shape, jnp.float32)
+
+    prev_m = m_ref[...]
+    prev_s = s_ref[...]
+    new_m = jnp.maximum(prev_m, tile_max)
+    # masked rows carry c = _BIG_NEG: exp(c - new_m) underflows to 0 for any
+    # finite new_m; the all-masked case keeps new_m = _BIG_NEG and the final
+    # log(s) + m stays ~_BIG_NEG (an effective -inf)
+    expc = jnp.exp(c - new_m[:1, :])
+    ssum = jnp.sum(expc, axis=0, keepdims=True)              # [1, T]
+    new_s = prev_s * jnp.exp(prev_m - new_m) + jnp.broadcast_to(
+        ssum, s_ref.shape)
+    m_ref[...] = new_m
+    s_ref[...] = new_s
+
+    @pl.when(j == last)
+    def _():
+        out_ref[...] = jnp.where(
+            new_s > 0.0,
+            jnp.log(jnp.maximum(new_s, 1e-38)) + new_m,
+            jnp.full(out_ref.shape, _BIG_NEG, jnp.float32),
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("d", "u_tile", "interpret"))
+def _background_call(w1, b1, logdets, logws, x, d, u_tile, interpret=False):
+    ud, d_pad = w1.shape
+    n_pad = x.shape[1]
+    n_tiles = n_pad // _N_TILE
+    u_tiles = ud // (u_tile * d)
+    kernel = functools.partial(_background_kernel, d=d, u_tile=u_tile)
+    (bg,) = pl.pallas_call(
+        kernel,
+        grid=(n_tiles, u_tiles),
+        in_specs=[
+            pl.BlockSpec((u_tile * d, d_pad), lambda i, j: (j, 0)),
+            pl.BlockSpec((u_tile * d, 1), lambda i, j: (j, 0)),
+            pl.BlockSpec((u_tile, 1), lambda i, j: (j, 0)),
+            pl.BlockSpec((u_tile, 1), lambda i, j: (j, 0)),
+            pl.BlockSpec((d_pad, _N_TILE), lambda i, j: (0, i)),
+        ],
+        out_specs=[
+            pl.BlockSpec((8, _N_TILE), lambda i, j: (0, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((8, n_pad), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((8, _N_TILE), jnp.float32),
+            pltpu.VMEM((8, _N_TILE), jnp.float32),
+        ],
+        interpret=interpret,
+    )(w1, b1, logdets, logws, x)
+    return bg
+
+
+def supports_background(num_dimensions: int) -> bool:
+    """The streaming kernel tiles U, so only D is constrained."""
+    return _HAVE_PALLAS and 1 <= num_dimensions <= 128
+
+
+def fused_background_logpdf(means, inv_chols, log_weights, log_dets, samples,
+                            interpret=False):
+    """Streaming count-weighted background mixture log-density ``[N]``:
+
+        bg(x) = logsumexp_u(log N(x; mu_u, Sigma_u) + log_weights[u])
+
+    over an arbitrary number of generating distributions ``U`` (tiled; no
+    ``K_pad * D`` VMEM bound like the density pack).  Rows with
+    ``log_weights = -inf`` are masked out; the all-masked result is a large
+    negative float (effective -inf).  Replaces the XLA chain at
+    sample_db._dist_log_pdfs + masked_logsumexp, which materializes
+    ``[U, N, D]`` intermediates (~440 MB of HBM traffic at the flagship
+    shape; reference computes the same quantity sample-wise at
+    sample_db.py:164-192)."""
+    u, d = means.shape
+    n = samples.shape[0]
+    if not _HAVE_PALLAS:
+        raise RuntimeError("pallas unavailable")
+    if d > 128:
+        raise ValueError("fused background kernel supports D <= 128")
+    # budget both the [u_tile*d, T] whitened intermediate and the
+    # [u_tile, T] logit tile (at small D the latter dominates; u_tile=1024
+    # at D=2 measured an 18 MB scoped-VMEM overflow on v5e)
+    u_tile = max(8, min(_MAX_KD // d, 512) // 8 * 8)
+    u_pad = _round_up(u, u_tile)
+    ud = u_pad * d
+    d_pad = _round_up(d, 8)
+    n_pad = _round_up(n, _N_TILE)
+    f32 = jnp.float32
+
+    active = log_weights > 0.5 * _BIG_NEG
+    n_act = jnp.maximum(jnp.sum(active), 1)
+    shift = jnp.sum(jnp.where(active[:, None], means, 0.0), 0) / n_act
+
+    inv_p = jnp.zeros((u_pad, d, d), f32).at[:u].set(inv_chols)
+    mu_p = jnp.zeros((u_pad, d), f32).at[:u].set(means - shift[None, :])
+    w1 = jnp.zeros((ud, d_pad), f32).at[:, :d].set(inv_p.reshape(ud, d))
+    b1 = jnp.einsum("uij,uj->ui", inv_p, mu_p,
+                    precision=jax.lax.Precision.HIGHEST).reshape(ud, 1)
+    logdet_p = jnp.zeros((u_pad, 1), f32).at[:u, 0].set(log_dets)
+    logw_p = jnp.full((u_pad, 1), _BIG_NEG, f32).at[:u, 0].set(
+        jnp.maximum(log_weights, _BIG_NEG))
+
+    x_pad = jnp.pad(samples.astype(f32) - shift[None, :].astype(f32),
+                    ((0, n_pad - n), (0, 0)))
+    xT = jax.lax.transpose(x_pad, (1, 0))
+    x = jnp.pad(xT, ((0, d_pad - d), (0, 0)))
+
+    bg = _background_call(w1, b1, logdet_p, logw_p, x, d=d, u_tile=u_tile,
+                          interpret=interpret)
+    return bg[0, :n]
 
 
 def _prepare(means, inv_chols, log_weights, log_dets, samples,

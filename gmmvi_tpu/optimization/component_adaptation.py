@@ -107,13 +107,24 @@ def delete_bad_components(
     is_old_enough = rh[:, -di] != F32_MIN
     is_bad = is_stagnating & is_low_weight & is_old_enough & model.mask
 
-    keep = jnp.logical_and(model.mask, jnp.logical_not(is_bad))
-    order = gmm_ops.compaction_order(
-        jnp.where(model.mask, keep, False)
+    # deletions are rare (every few hundred iterations in steady state); the
+    # compaction gathers + inverse-Cholesky refresh only run when one fires
+    # (the reference likewise only mutates variables for bad components,
+    # component_adaptation.py:292-300)
+    def compact(args):
+        model, meta = args
+        keep = jnp.logical_and(model.mask, jnp.logical_not(is_bad))
+        order = gmm_ops.compaction_order(
+            jnp.where(model.mask, keep, False)
+        )
+        return (
+            gmm_ops.remove_components(model, keep),
+            meta_ops.remove_components_meta(meta, order),
+        )
+
+    return jax.lax.cond(
+        jnp.any(is_bad), compact, lambda args: args, (model, meta)
     )
-    new_model = gmm_ops.remove_components(model, keep)
-    new_meta = meta_ops.remove_components_meta(meta, order)
-    return new_model, new_meta
 
 
 def diagonal_gaussian_entropy(cov_diag) -> float:

@@ -544,6 +544,9 @@ class GMMVI:
         """Assemble a GMMVI instance from a reference-schema config dict
         (reference: gmmvi.py:105-144).  ``model`` is a padded GmmState (see
         :func:`gmmvi_tpu.experiments.setup.construct_initial_mixture`)."""
+        from gmmvi_tpu.configs.validate import validate_config
+
+        validate_config(config)
         tpu_cfg = config.get("tpu", {}) or {}
         if tpu_cfg.get("debug_nans"):
             # numerical-sanitizer mode (SURVEY.md §5: optional NaN checks;

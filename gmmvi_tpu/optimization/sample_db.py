@@ -247,6 +247,66 @@ def _dist_log_pdfs(db: SampleDbState, means, inv_chols, log_dets, x,
     return maha - log_dets[:, None] - 0.5 * d * LOG_2PI
 
 
+def _fused_background_mode(db: SampleDbState, n: int, u: int) -> str:
+    """'pallas' | 'interpret' | 'off' for the streaming background kernel
+    (same gating policy as gmm._fused_density_mode; GMMVI_FUSED_BACKGROUND
+    overrides, falling back to GMMVI_FUSED_DENSITY).
+
+    Crossover policy (measured on v5e, scripts/bench_background_kernel.py):
+    the kernel only clearly beats the fused XLA chain once the number of
+    generating distributions U is large — 1.2-1.6x at U >= 1024, parity at
+    U <= 512 (the [U, N, D] HBM intermediates only dominate once they stop
+    fitting in caches/fusions).  Default gate: U >= 768."""
+    import os
+
+    from gmmvi_tpu.models import gmm as gmm_module
+    from gmmvi_tpu.ops import pallas_density
+
+    mode = os.environ.get(
+        "GMMVI_FUSED_BACKGROUND",
+        os.environ.get("GMMVI_FUSED_DENSITY", "auto"))
+    if mode == "0":
+        return "off"
+    if db.diagonal or not pallas_density.supports_background(
+            db.num_dimensions):
+        return "off"
+    if gmm_module.SPMD_ACTIVE and mode not in ("1", "interpret"):
+        return "off"
+    if mode == "interpret":
+        return "interpret"
+    if (n < 512 or u < 768) and mode != "1":
+        return "off"
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        on_tpu = False
+    if mode == "1" or on_tpu:
+        return "pallas"
+    return "off"
+
+
+def _background_logsumexp(db, means_u, inv_u, log_dets_u, log_w, sel_mask,
+                          samples, shard_fn=None):
+    """``[W]`` count-weighted background log-density over the selected dists:
+    ``logsumexp_u(log N(x; mu_u, Sigma_u) + log_w[u])`` with unselected rows
+    masked.  On TPU with large U this streams through the U-tiled Pallas
+    kernel (the ``[U, W(, D)]`` intermediates never reach HBM); otherwise
+    it falls back to the XLA chain."""
+    mode = _fused_background_mode(db, samples.shape[0], means_u.shape[0])
+    if mode != "off":
+        from gmmvi_tpu.ops.pallas_density import fused_background_logpdf
+
+        lw = jnp.where(sel_mask, log_w, NEG_INF)
+        return fused_background_logpdf(
+            means_u, inv_u, lw, log_dets_u, samples,
+            interpret=(mode == "interpret"))
+    log_pdfs = _dist_log_pdfs(db, means_u, inv_u, log_dets_u, samples,
+                              shard_fn=shard_fn)
+    return masked_logsumexp(
+        log_pdfs + log_w[:, None], mask=sel_mask[:, None], axis=0
+    )
+
+
 def _gather_window(db: SampleDbState, window: int, n_requested: jnp.ndarray):
     """Newest-window gather (oldest first, like the reference's tail slice).
 
@@ -346,11 +406,8 @@ def get_newest_samples(
     )
 
     means_u, inv_u, log_dets_u = _gather_dists(db, top_keys)
-    log_pdfs = _dist_log_pdfs(db, means_u, inv_u, log_dets_u, samples,
-                              shard_fn=shard_fn)  # [U, W]
-    bg = masked_logsumexp(
-        log_pdfs + log_weights[:, None], mask=sel_mask[:, None], axis=0
-    )
+    bg = _background_logsumexp(db, means_u, inv_u, log_dets_u, log_weights,
+                               sel_mask, samples, shard_fn=shard_fn)
 
     return SampleWindow(
         samples=samples,
@@ -477,17 +534,16 @@ def get_newest_samples_fused(
         )
 
         means_u, inv_u, log_dets_u = _gather_dists(db, top_keys)
-        old_pdfs = _dist_log_pdfs(db, means_u, inv_u, log_dets_u, samples,
-                                  shard_fn=shard_fn)
-
-        stacked = jnp.concatenate(
-            [pack.component_log_densities + log_w_cur[:, None],
-             old_pdfs + log_w_old[:, None]], axis=0
+        bg_old = _background_logsumexp(db, means_u, inv_u, log_dets_u,
+                                       log_w_old, sel_mask, samples,
+                                       shard_fn=shard_fn)
+        bg_cur = masked_logsumexp(
+            pack.component_log_densities + log_w_cur[:, None],
+            mask=(counts_cur > 0)[:, None], axis=0,
         )
-        stacked_mask = jnp.concatenate(
-            [(counts_cur > 0)[:, None], sel_mask[:, None]], axis=0
-        )
-        bg = masked_logsumexp(stacked, mask=stacked_mask, axis=0)
+        # logsumexp over the stacked [cur; old] rows, split so the old-dist
+        # half can stream through the Pallas kernel
+        bg = jnp.logaddexp(bg_cur, bg_old)
 
     if shard_fn is not None:
         bg = shard_fn(bg)

@@ -108,7 +108,7 @@ def propose(
 
     if cfg.is_vips:
         if win is not None:
-            comp_ld = gmm_ops.component_log_densities(
+            comp_ld = gmm_ops.component_log_densities_fast(
                 model, win.samples, shard_fn=shard_fn)
             n_eff = _effective_samples(
                 comp_ld, win.background_log_pdfs, win.valid

@@ -38,7 +38,14 @@ class GmmviRunner:
 
     def __init__(self, config: dict, log_metrics_interval: int,
                  mesh: Optional[jax.sharding.Mesh] = None):
+        from gmmvi_tpu.configs.validate import validate_config
+
+        validate_config(config, require_target="target_fn" not in config)
         if "seed" not in config:
+            if "start_seed" not in config:
+                raise ValueError(
+                    "config needs 'seed' or 'start_seed' (the reference "
+                    "experiment configs set start_seed)")
             config["seed"] = config["start_seed"]
         self.config = config
         self.log_metrics_interval = int(log_metrics_interval)

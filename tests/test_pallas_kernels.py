@@ -99,6 +99,82 @@ def test_fused_density_pack_matches_xla():
                                atol=1e-6)
 
 
+@pytest.mark.parametrize("u,d,n", [(7, 5, 600), (70, 60, 520)])
+def test_fused_background_logpdf_matches_xla(u, d, n):
+    """The streaming (U-tiled, online-logsumexp) background kernel matches
+    the XLA chain, including masked dists and multiple U tiles (the second
+    case spans 3 tiles at u_tile=32)."""
+    from gmmvi_tpu.ops.pallas_density import fused_background_logpdf
+
+    rng = np.random.RandomState(0)
+    means = rng.randn(u, d).astype(np.float32) * 3
+    a = rng.randn(u, d, d).astype(np.float32) * 0.3
+    covs = np.einsum("uij,ulj->uil", a, a) + np.eye(d, dtype=np.float32)
+    chols = np.linalg.cholesky(covs).astype(np.float32)
+    inv_chols = np.stack([np.linalg.inv(c) for c in chols]).astype(np.float32)
+    log_dets = np.sum(np.log(np.diagonal(chols, axis1=-2, axis2=-1)),
+                      axis=-1).astype(np.float32)
+    log_w = np.log(rng.dirichlet(np.ones(u))).astype(np.float32)
+    log_w[u // 3:: 3] = -np.inf  # some unselected rows
+    x = (rng.randn(n, d) * 2).astype(np.float32)
+
+    # XLA oracle
+    diffs = x[None] - means[:, None]
+    y = np.einsum("uij,unj->uni", inv_chols, diffs)
+    lp = (-0.5 * np.sum(y * y, -1) - log_dets[:, None]
+          - 0.5 * d * np.log(2 * np.pi))
+    sel = np.isfinite(log_w)
+    stacked = lp[sel] + log_w[sel][:, None]
+    m = stacked.max(0)
+    want = np.log(np.exp(stacked - m).sum(0)) + m
+
+    got = np.asarray(fused_background_logpdf(
+        jnp.asarray(means), jnp.asarray(inv_chols), jnp.asarray(log_w),
+        jnp.asarray(log_dets), jnp.asarray(x), interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=2e-4)
+
+
+def test_background_logsumexp_dispatch_matches():
+    """sample_db._background_logsumexp: interpret-kernel result matches the
+    XLA fallback on the same inputs (the wiring used inside
+    get_newest_samples / get_newest_samples_fused)."""
+    import os
+
+    from gmmvi_tpu.optimization import sample_db as DB
+
+    rng = np.random.RandomState(4)
+    u, d, n = 9, 6, 600
+    means = rng.randn(u, d).astype(np.float32)
+    a = rng.randn(u, d, d).astype(np.float32) * 0.3
+    covs = np.einsum("uij,ulj->uil", a, a) + np.eye(d, dtype=np.float32)
+    chols = np.linalg.cholesky(covs).astype(np.float32)
+    inv_chols = np.stack([np.linalg.inv(c) for c in chols]).astype(np.float32)
+    log_dets = np.sum(np.log(np.diagonal(chols, axis1=-2, axis2=-1)),
+                      axis=-1).astype(np.float32)
+    log_w = np.log(rng.dirichlet(np.ones(u))).astype(np.float32)
+    sel = np.ones(u, bool)
+    sel[5:] = False
+    x = (rng.randn(n, d)).astype(np.float32)
+    db = DB.create_sample_db(dim=d, max_components=4, capacity=64,
+                             dist_ring_iters=2, reservoir_capacity=16)
+
+    args = (db, jnp.asarray(means), jnp.asarray(inv_chols),
+            jnp.asarray(log_dets), jnp.asarray(log_w), jnp.asarray(sel),
+            jnp.asarray(x))
+    old = os.environ.get("GMMVI_FUSED_DENSITY")
+    try:
+        os.environ["GMMVI_FUSED_DENSITY"] = "interpret"
+        got = np.asarray(DB._background_logsumexp(*args))
+        os.environ["GMMVI_FUSED_DENSITY"] = "0"
+        want = np.asarray(DB._background_logsumexp(*args))
+    finally:
+        if old is None:
+            os.environ.pop("GMMVI_FUSED_DENSITY", None)
+        else:
+            os.environ["GMMVI_FUSED_DENSITY"] = old
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=2e-4)
+
+
 def test_stein_moment_form_matches_ptd_form():
     """Packs without prec_times_diff (fused-kernel packs) drive the Stein
     estimator through the moment form — must match the direct form."""
