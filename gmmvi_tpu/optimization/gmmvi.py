@@ -223,18 +223,56 @@ class GMMVI:
     # ------------------------------------------------------------------
     # Phases
     # ------------------------------------------------------------------
+    @property
+    def _has_comp_axis(self) -> bool:
+        return self.mesh is not None and "comp" in self.mesh.axis_names
+
     def _shard_batch(self, x: jnp.ndarray, axis: int = 0) -> jnp.ndarray:
         """Constrain ``axis`` of ``x`` to the mesh's data axis.  Pinning every
         major per-sample intermediate (not just the batch itself) keeps XLA's
         SPMD propagation from electing to all-gather the batch and compute
-        replicated (its cost model prefers that surprisingly often)."""
+        replicated (its cost model prefers that surprisingly often).
+
+        On a 2-D ``("data", "comp")`` mesh, component-major intermediates
+        (``[Kmax, N(, D)]`` density/whitening chains, where the sample axis
+        is not axis 0) are additionally pinned over ``comp`` so the K-vmapped
+        work splits across the comp axis."""
         if self.mesh is None:
             return x
         dims = [None] * x.ndim
         dims[axis] = "data"
+        if (
+            self._has_comp_axis and axis != 0
+            and x.shape[0] == self.state.model.max_components
+        ):
+            dims[0] = "comp"
         return jax.lax.with_sharding_constraint(
             x, jax.sharding.NamedSharding(
                 self.mesh, jax.sharding.PartitionSpec(*dims))
+        )
+
+    def _shard_comp(self, x: jnp.ndarray, axis: int = 0) -> jnp.ndarray:
+        """Constrain ``axis`` (the component axis) to the mesh's ``comp``
+        axis; no-op on 1-D data meshes."""
+        if not self._has_comp_axis:
+            return x
+        dims = [None] * x.ndim
+        dims[axis] = "comp"
+        return jax.lax.with_sharding_constraint(
+            x, jax.sharding.NamedSharding(
+                self.mesh, jax.sharding.PartitionSpec(*dims))
+        )
+
+    def _shard_model_comp(self, model: GmmState) -> GmmState:
+        """Pin the model's per-component tensors over ``comp`` (the [K]
+        weight vectors stay replicated — they feed tiny reductions where a
+        collective would cost more than the compute)."""
+        if not self._has_comp_axis:
+            return model
+        return model.replace(
+            means=self._shard_comp(model.means),
+            chols=self._shard_comp(model.chols),
+            inv_chols=self._shard_comp(model.inv_chols),
         )
 
     def _propose_phase(self, state: TrainState):
@@ -296,6 +334,10 @@ class GMMVI:
         reuse it because the reference evaluates log-ratios under the
         *updated* components (gmmvi.py:170-173 runs update_weights after
         apply_NG_update)."""
+        # on a ("data", "comp") mesh, split the per-component chains
+        # (estimator moments, trust-region bisection + Cholesky
+        # reconstruction) over the comp axis
+        model = self._shard_model_comp(model)
         # 1. component stepsize adaptation
         new_stepsizes = step_ops.COMPONENT_STEPSIZE_ADAPTERS[
             self.component_stepsize_type
@@ -340,9 +382,12 @@ class GMMVI:
                 grid_size=self.trust_region_grid_size,
             )
         model, meta = upd_ops.UPDATERS[self.updater_type](
-            model, meta, est.expected_hessians_neg, est.expected_gradients_neg,
+            model, meta,
+            self._shard_comp(est.expected_hessians_neg),
+            self._shard_comp(est.expected_gradients_neg),
             meta.stepsizes, **updater_kwargs,
         )
+        model = self._shard_model_comp(model)
 
         # 4. weight stepsize adaptation
         wstep = step_ops.WEIGHT_STEPSIZE_ADAPTERS[self.weight_stepsize_type](

@@ -46,6 +46,30 @@ def data_mesh(num_devices: Optional[int] = None) -> Mesh:
     return Mesh(np.asarray(devices).reshape(len(devices)), ("data",))
 
 
+def hybrid_mesh(num_comp: int, num_devices: Optional[int] = None) -> Mesh:
+    """2-D ``("data", "comp")`` mesh: samples shard over ``data``, the
+    component axis of the model (and every per-component chain — trust-region
+    bisections, Cholesky reconstructions, Stein moments) shards over ``comp``.
+
+    Worth it for large-K adaptive runs (the reference's VIPS caps at
+    max_components=1000, component_adaptation defaults): per-component
+    compute is then the dominant cost and is embarrassingly parallel over
+    K.  For small K keep the 1-D :func:`data_mesh` — a comp axis only adds
+    collective latency.  Put ``comp`` innermost (fastest-varying on the
+    physical topology) so its all-reduces ride the shortest ICI hops.
+    """
+    devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    n = len(devices)
+    if n % num_comp:
+        raise ValueError(f"{n} devices not divisible by num_comp={num_comp}")
+    return Mesh(
+        np.asarray(devices).reshape(n // num_comp, num_comp),
+        ("data", "comp"),
+    )
+
+
 def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
     """Sharding for a batch tensor: leading axis over ``data``, rest
     replicated."""

@@ -119,6 +119,43 @@ def test_full_training_step_sharded_matches_replicated():
 
 
 @requires_multidevice
+def test_full_training_step_hybrid_mesh_matches_replicated():
+    """The same trajectory on a 2-D ("data", "comp") 4x2 mesh: samples shard
+    over data, the per-component update chains shard over comp."""
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2),
+                ("data", "comp"))
+    _, gmmvi_rep = _build(mesh=None)
+    _, gmmvi_sh = _build(mesh=mesh)
+    for _ in range(4):
+        gmmvi_rep.train_iter()
+        gmmvi_sh.train_iter()
+    np.testing.assert_allclose(
+        np.asarray(gmmvi_sh.state.model.means),
+        np.asarray(gmmvi_rep.state.model.means),
+        rtol=5e-4, atol=5e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(gmmvi_sh.state.model.log_weights[:3]),
+        np.asarray(gmmvi_rep.state.model.log_weights[:3]),
+        rtol=5e-4, atol=5e-4,
+    )
+    assert int(gmmvi_sh.state.model.num_active) == int(
+        gmmvi_rep.state.model.num_active
+    )
+
+
+@requires_multidevice
+def test_hybrid_mesh_helper():
+    from gmmvi_tpu.parallel.mesh import hybrid_mesh
+
+    mesh = hybrid_mesh(num_comp=2, num_devices=8)
+    assert mesh.axis_names == ("data", "comp")
+    assert mesh.devices.shape == (4, 2)
+    with pytest.raises(ValueError, match="not divisible"):
+        hybrid_mesh(num_comp=3, num_devices=8)
+
+
+@requires_multidevice
 def test_dryrun_multichip_entry():
     import __graft_entry__ as entry
 
