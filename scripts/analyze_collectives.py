@@ -56,7 +56,12 @@ def main():
         )
     from __graft_entry__ import _build_gmmvi
 
-    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(8), ("data",))
+    hybrid = "--hybrid" in sys.argv
+    if hybrid:
+        mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2),
+                    ("data", "comp"))
+    else:
+        mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(8), ("data",))
     g = _build_gmmvi(num_dimensions=20, n_des=200, kmax=48, k0=45, mesh=mesh)
     compiled = jax.jit(g._full_step, donate_argnums=0).lower(g.state).compile()
     hlo = compiled.as_text()
@@ -88,7 +93,9 @@ def main():
                               _payload_bytes(payload), where))
                 break
 
-    print(f"mesh: 8-device 1-D 'data' axis; flagship shape "
+    mesh_desc = ("4x2 ('data', 'comp') axes" if hybrid
+                 else "8-device 1-D 'data' axis")
+    print(f"mesh: {mesh_desc}; flagship shape "
           f"(D=20, Kmax=48, n_des=200, window 9600)\n")
     if not found:
         print("no collectives found (?) — inspect the HLO manually")
