@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import math
 from typing import Optional, Tuple
+import contextlib
 
 import jax
 import jax.numpy as jnp
@@ -37,12 +38,26 @@ from gmmvi_tpu.ops.stable import masked_logsumexp, NEG_INF
 
 LOG_2PI = math.log(2.0 * math.pi)
 
-# Set by GMMVI when a data-parallel mesh is configured: the fused Pallas
-# density kernel is an opaque custom call to XLA's SPMD partitioner, so under
-# a mesh it would force an all-gather of the sharded sample batch onto every
-# device.  Until the kernel is wrapped in shard_map (per-sample outputs make
-# that straightforward), SPMD runs use the partitionable XLA path.
+# True while GMMVI traces a step with a data-parallel mesh configured: the
+# fused Pallas kernels are opaque custom calls to XLA's SPMD partitioner, so
+# under a mesh they would force an all-gather of the sharded operands onto
+# every device.  Until the kernels are wrapped in shard_map (per-sample
+# outputs make that straightforward), SPMD traces use the partitionable XLA
+# path.  Scoped via spmd_scope (not set-once) so meshed and unmeshed GMMVI
+# instances in the same process each trace with the right kernel gating.
 SPMD_ACTIVE = False
+
+
+@contextlib.contextmanager
+def spmd_scope(active: bool):
+    """Scope the SPMD kernel gate for the duration of a trace."""
+    global SPMD_ACTIVE
+    prev = SPMD_ACTIVE
+    SPMD_ACTIVE = bool(active)
+    try:
+        yield
+    finally:
+        SPMD_ACTIVE = prev
 
 # Mahalanobis / density einsums need f32-true accumulation on the MXU.
 _PREC = jax.lax.Precision.HIGHEST

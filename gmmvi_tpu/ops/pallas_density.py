@@ -321,48 +321,26 @@ def fused_background_logpdf(means, inv_chols, log_weights, log_dets, samples,
     # at D=2 measured an 18 MB scoped-VMEM overflow on v5e)
     u_tile = max(8, min(_MAX_KD // d, 512) // 8 * 8)
     u_pad = _round_up(u, u_tile)
-    ud = u_pad * d
-    d_pad = _round_up(d, 8)
-    n_pad = _round_up(n, _N_TILE)
-    f32 = jnp.float32
-
-    active = log_weights > 0.5 * _BIG_NEG
-    n_act = jnp.maximum(jnp.sum(active), 1)
-    shift = jnp.sum(jnp.where(active[:, None], means, 0.0), 0) / n_act
-
-    inv_p = jnp.zeros((u_pad, d, d), f32).at[:u].set(inv_chols)
-    mu_p = jnp.zeros((u_pad, d), f32).at[:u].set(means - shift[None, :])
-    w1 = jnp.zeros((ud, d_pad), f32).at[:, :d].set(inv_p.reshape(ud, d))
-    b1 = jnp.einsum("uij,uj->ui", inv_p, mu_p,
-                    precision=jax.lax.Precision.HIGHEST).reshape(ud, 1)
-    logdet_p = jnp.zeros((u_pad, 1), f32).at[:u, 0].set(log_dets)
-    logw_p = jnp.full((u_pad, 1), _BIG_NEG, f32).at[:u, 0].set(
-        jnp.maximum(log_weights, _BIG_NEG))
-
-    x_pad = jnp.pad(samples.astype(f32) - shift[None, :].astype(f32),
-                    ((0, n_pad - n), (0, 0)))
-    xT = jax.lax.transpose(x_pad, (1, 0))
-    x = jnp.pad(xT, ((0, d_pad - d), (0, 0)))
-
+    w1, b1, _, _, logdet_p, logw_p, x, _ = _pack(
+        means, inv_chols, log_weights, log_dets, samples, rows_pad=u_pad,
+        need_w2=False)
     bg = _background_call(w1, b1, logdet_p, logw_p, x, d=d, u_tile=u_tile,
                           interpret=interpret)
     return bg[0, :n]
 
 
-def _prepare(means, inv_chols, log_weights, log_dets, samples,
-             need_w2: bool):
-    """Packing: stacked whitening factors + folded-mean biases, centered
-    transposed samples.  All outputs are tiny except the [D, N] sample
-    matrix (a single pad + transpose)."""
+def _pack(means, inv_chols, log_weights, log_dets, samples, rows_pad: int,
+          need_w2: bool):
+    """Shared packing for every fused kernel: stacked whitening factors +
+    folded-mean biases, centered transposed samples.  ``rows_pad`` is the
+    padded component-row count (K rounded to 8 for the density pack, U
+    rounded to the streaming tile for the background kernel); all outputs
+    are tiny except the [D, N] sample matrix (a single pad + transpose)."""
     k, d = means.shape
     n = samples.shape[0]
     if not _HAVE_PALLAS:
         raise RuntimeError("pallas unavailable")
-    k_pad = _round_up(k, 8)
-    kd = k_pad * d
-    if kd > _MAX_KD or d > 128:
-        raise ValueError(
-            f"fused density kernels support K_pad*D <= {_MAX_KD}, D <= 128")
+    kd = rows_pad * d
     d_pad = _round_up(d, 8)
     n_pad = _round_up(n, _N_TILE)
     f32 = jnp.float32
@@ -372,8 +350,8 @@ def _prepare(means, inv_chols, log_weights, log_dets, samples,
     n_act = jnp.maximum(jnp.sum(active), 1)
     shift = jnp.sum(jnp.where(active[:, None], means, 0.0), 0) / n_act
 
-    inv_p = jnp.zeros((k_pad, d, d), f32).at[:k].set(inv_chols)
-    mu_p = jnp.zeros((k_pad, d), f32).at[:k].set(means - shift[None, :])
+    inv_p = jnp.zeros((rows_pad, d, d), f32).at[:k].set(inv_chols)
+    mu_p = jnp.zeros((rows_pad, d), f32).at[:k].set(means - shift[None, :])
 
     w1 = jnp.zeros((kd, d_pad), f32).at[:, :d].set(inv_p.reshape(kd, d))
     b1 = jnp.einsum("kij,kj->ki", inv_p, mu_p,
@@ -387,8 +365,8 @@ def _prepare(means, inv_chols, log_weights, log_dets, samples,
     else:
         w2 = b2 = None
 
-    logdet_p = jnp.zeros((k_pad, 1), f32).at[:k, 0].set(log_dets)
-    logw_p = jnp.full((k_pad, 1), _BIG_NEG, f32).at[:k, 0].set(
+    logdet_p = jnp.zeros((rows_pad, 1), f32).at[:k, 0].set(log_dets)
+    logw_p = jnp.full((rows_pad, 1), _BIG_NEG, f32).at[:k, 0].set(
         jnp.maximum(log_weights, _BIG_NEG))
 
     # keep the transpose a standalone op: fusing it with the centering
@@ -398,7 +376,20 @@ def _prepare(means, inv_chols, log_weights, log_dets, samples,
                     ((0, n_pad - n), (0, 0)))
     xT = jax.lax.transpose(x_pad, (1, 0))                    # [d, n_pad]
     x = jnp.pad(xT, ((0, d_pad - d), (0, 0)))
-    return w1, b1, w2, b2, logdet_p, logw_p, x, k_pad
+    return w1, b1, w2, b2, logdet_p, logw_p, x, rows_pad
+
+
+def _prepare(means, inv_chols, log_weights, log_dets, samples,
+             need_w2: bool):
+    """Density-pack packing: rows padded to a multiple of 8, K_pad * D
+    bounded by the VMEM-resident kernel design."""
+    k, d = means.shape
+    k_pad = _round_up(k, 8)
+    if k_pad * d > _MAX_KD or d > 128:
+        raise ValueError(
+            f"fused density kernels support K_pad*D <= {_MAX_KD}, D <= 128")
+    return _pack(means, inv_chols, log_weights, log_dets, samples,
+                 rows_pad=k_pad, need_w2=need_w2)
 
 
 def fused_density_pack(means, inv_chols, log_weights, log_dets, samples,

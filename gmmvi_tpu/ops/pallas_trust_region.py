@@ -120,7 +120,6 @@ def _tr_kl_call(eta, prec, rq, lin, rlin, ot, mean, klconst, d,
                 interpret=False):
     b = eta.shape[1]
     kernel = functools.partial(_tr_kl_kernel, d=d)
-    full = lambda i: tuple([0] * 3)
     kl = pl.pallas_call(
         kernel,
         grid=(1,),

@@ -210,45 +210,14 @@ def _tr_kl_diag(eta, old_lin, old_prec, old_inv_chol, reward_lin, reward_quad,
     return kl, new_mean, inv_chol_p
 
 
-_SPECULATION_DEPTH = 1  # bisection steps resolved per while-loop trip
-
-
-def _spec_tree(lower, upper, depth):
-    """The next ``2**depth - 1`` candidate bisection midpoints in heap order.
-
-    Node 1 is the current midpoint; nodes 2j / 2j+1 are the midpoints the
-    search would evaluate next after moving the bracket down / up.  Built by
-    the same ``0.5 * (a + b)`` recursion as the sequential search so the
-    candidate values are bit-identical to the reference's midpoint sequence.
-    """
-    nodes = [0.5 * (lower + upper)]
-    bounds = [(lower, upper)]
-    # heap order: children of node j (0-based j-1) are 2j, 2j+1
-    for j in range(2 ** (depth - 1) - 1):
-        lo, hi = bounds[j]
-        m = nodes[j]
-        nodes.append(0.5 * (lo + m))
-        bounds.append((lo, m))
-        nodes.append(0.5 * (m + hi))
-        bounds.append((m, hi))
-    return jnp.stack(nodes)
-
-
 def _bracketing_search(kl_fn, kl_bound, lower0, upper0):
     """Log-space bracketing search for the largest stepsize satisfying the KL
     bound (reference: ng_based_component_updater.py:335-429).  Up to 1000
     iterations; stops when the bracket width (in eta space) is < 0.1 or
-    |KL - bound| < 0.1 * bound (then lower = upper = eta).
-
-    TPU-native speculative bisection: each while-loop trip batch-evaluates the
-    full depth-``_SPECULATION_DEPTH`` tree of upcoming midpoints in ONE
-    batched KL evaluation (one batched Cholesky instead of one per step) and
-    then resolves that many bisection steps with scalar logic.  The visited
-    eta sequence, bracket updates, and stopping decisions are exactly those
-    of the sequential reference search — speculation only removes sequential
-    latency, not semantics.
+    |KL - bound| < 0.1 * bound (then lower = upper = eta).  The visited eta
+    sequence, bracket updates, and stopping decisions are exactly the
+    sequential reference search's.
     """
-    s_depth = _SPECULATION_DEPTH
 
     def cond(carry):
         _, _, _, done, it = carry
@@ -256,48 +225,31 @@ def _bracketing_search(kl_fn, kl_bound, lower0, upper0):
 
     def body(carry):
         lower, upper, upper_ok, done, it = carry
-        etas_log = _spec_tree(lower, upper, s_depth)
-        if s_depth == 1:
-            kls = kl_fn(jnp.exp(etas_log[0]))[0][None]
-        else:
-            kls = jax.vmap(lambda e: kl_fn(jnp.exp(e))[0])(etas_log)
+        eta = 0.5 * (lower + upper)
+        kl = kl_fn(jnp.exp(eta))[0]
+        # reference order: width-stop checked before evaluating KL
+        diff = jnp.minimum(
+            jnp.exp(upper) - jnp.exp(eta), jnp.exp(eta) - jnp.exp(lower)
+        )
+        stop_width = diff < 1e-1
+        good = jnp.abs(kl_bound - kl) < 1e-1 * kl_bound
+        go_low = kl_bound > kl  # KL below bound -> decrease eta
 
-        j = jnp.asarray(1, jnp.int32)  # heap index of the current midpoint
-        for _ in range(s_depth):
-            active = jnp.logical_and(jnp.logical_not(done), it < 1000)
-            eta = etas_log[j - 1]
-            kl = kls[j - 1]
-            # reference order: width-stop checked before evaluating KL
-            diff = jnp.minimum(
-                jnp.exp(upper) - jnp.exp(eta), jnp.exp(eta) - jnp.exp(lower)
-            )
-            stop_width = diff < 1e-1
-            good = jnp.abs(kl_bound - kl) < 1e-1 * kl_bound
-            go_low = kl_bound > kl  # KL below bound -> decrease eta
-
-            new_lower = jnp.where(
-                stop_width, lower,
-                jnp.where(good, eta, jnp.where(go_low, lower, eta)),
-            )
-            new_upper = jnp.where(
-                stop_width, upper,
-                jnp.where(good, eta, jnp.where(go_low, eta, upper)),
-            )
-            new_upper_ok = jnp.where(
-                jnp.logical_and(~stop_width, ~good),
-                jnp.logical_or(upper_ok, go_low),
-                upper_ok,
-            )
-            new_done = jnp.logical_or(stop_width, good)
-            new_j = jnp.where(go_low, 2 * j, 2 * j + 1)
-
-            lower = jnp.where(active, new_lower, lower)
-            upper = jnp.where(active, new_upper, upper)
-            upper_ok = jnp.where(active, new_upper_ok, upper_ok)
-            done = jnp.where(active, new_done, done)
-            j = jnp.where(active, new_j, j)
-            it = jnp.where(active, it + 1, it)
-        return lower, upper, upper_ok, done, it
+        lower = jnp.where(
+            stop_width, lower,
+            jnp.where(good, eta, jnp.where(go_low, lower, eta)),
+        )
+        upper = jnp.where(
+            stop_width, upper,
+            jnp.where(good, eta, jnp.where(go_low, eta, upper)),
+        )
+        upper_ok = jnp.where(
+            jnp.logical_and(~stop_width, ~good),
+            jnp.logical_or(upper_ok, go_low),
+            upper_ok,
+        )
+        done = jnp.logical_or(stop_width, good)
+        return lower, upper, upper_ok, done, it + 1
 
     lower, upper, upper_ok, _, _ = jax.lax.while_loop(
         cond, body,
@@ -371,11 +323,18 @@ def _tr_pallas_mode() -> str:
     (GMMVI_FUSED_TR=0 disables, =1 forces, =interpret for CPU tests)."""
     import os
 
+    from gmmvi_tpu.models import gmm as gmm_module
+
     mode = os.environ.get("GMMVI_FUSED_TR", "auto")
     if mode == "0":
         return "off"
     if mode == "interpret":
         return "interpret"
+    if gmm_module.SPMD_ACTIVE and mode != "1":
+        # opaque custom call: under a mesh XLA would all-gather the
+        # comp-sharded [K, D, D] chains onto every device (same gate as
+        # gmm._fused_density_mode)
+        return "off"
     try:
         on_tpu = jax.default_backend() == "tpu"
     except Exception:  # pragma: no cover

@@ -112,11 +112,6 @@ class GMMVI:
             None if prior_cov_diag is None else jnp.asarray(prior_cov_diag)
         )
         self.mesh = mesh
-        if mesh is not None:
-            # see gmm.SPMD_ACTIVE: keep the density pass partitionable
-            from gmmvi_tpu.models import gmm as _gmm_module
-
-            _gmm_module.SPMD_ACTIVE = True
         self.trust_region_search = trust_region_search
         self.trust_region_grid_size = int(trust_region_grid_size)
         self._steps_to_capacity_check = 1
@@ -144,25 +139,43 @@ class GMMVI:
             )
         if enabled and self.target_distribution.safe_for_jit \
                 and selector_cfg.is_vips:
-            kmax = initial_state.model.max_components
-            batch = kmax * selector_cfg.desired_samples_per_component
-            ladder = []
-            sz = batch
-            while sz >= max(kmax, batch // 64) and sz > 0:
-                ladder.append(sz)
-                sz //= 2
-            self._eval_buckets = tuple(sorted(set(ladder)))
-            if len(self._eval_buckets) < 2:
-                self._eval_buckets = None
+            self._eval_buckets = self._make_eval_buckets(
+                initial_state.model.max_components)
 
         if self.target_distribution.safe_for_jit:
             # donating the state lets XLA update the large ring buffers
             # (sample DB, histories) in place instead of copying them
-            self._jitted_step = jax.jit(self._full_step, donate_argnums=0)
+            self._jitted_step = jax.jit(self._spmd_scoped(self._full_step),
+                                        donate_argnums=0)
             self._multi_step_cache: dict = {}
         else:
-            self._jitted_propose = jax.jit(self._propose_phase)
-            self._jitted_update = jax.jit(self._update_phase, donate_argnums=0)
+            self._jitted_propose = jax.jit(
+                self._spmd_scoped(self._propose_phase))
+            self._jitted_update = jax.jit(
+                self._spmd_scoped(self._update_phase), donate_argnums=0)
+
+    def _make_eval_buckets(self, kmax: int):
+        """Power-of-two ladder of target-eval sizes, [~batch/64, batch];
+        None when the ladder degenerates (bucketing would not help)."""
+        batch = kmax * self.selector_cfg.desired_samples_per_component
+        ladder, sz = [], batch
+        while sz >= max(kmax, batch // 64) and sz > 0:
+            ladder.append(sz)
+            sz //= 2
+        buckets = tuple(sorted(set(ladder)))
+        return buckets if len(buckets) >= 2 else None
+
+    def _spmd_scoped(self, fn):
+        """Wrap a step function so tracing runs under the right SPMD kernel
+        gate (see gmm.spmd_scope) — scoped per trace, so meshed and unmeshed
+        instances coexist in one process without leaking the gate."""
+        from gmmvi_tpu.models import gmm as _gmm_module
+
+        def wrapped(*args):
+            with _gmm_module.spmd_scope(self.mesh is not None):
+                return fn(*args)
+
+        return wrapped
 
     # ------------------------------------------------------------------
     # Target evaluation
@@ -463,13 +476,7 @@ class GMMVI:
         )
         # shape-keyed jit caches recompile themselves; rebuild derived sizes
         if self._eval_buckets is not None:
-            batch = (new_max_components
-                     * self.selector_cfg.desired_samples_per_component)
-            ladder, sz = [], batch
-            while sz >= max(new_max_components, batch // 64) and sz > 0:
-                ladder.append(sz)
-                sz //= 2
-            self._eval_buckets = tuple(sorted(set(ladder)))
+            self._eval_buckets = self._make_eval_buckets(new_max_components)
         if hasattr(self, "_multi_step_cache"):
             self._multi_step_cache.clear()
 
@@ -566,7 +573,7 @@ class GMMVI:
                     return self._full_step(s), None
                 return jax.lax.scan(body, state, None, length=n)[0]
 
-            fn = jax.jit(multi, donate_argnums=0)
+            fn = jax.jit(self._spmd_scoped(multi), donate_argnums=0)
             self._multi_step_cache[n] = fn
         self.state = fn(self.state)
 

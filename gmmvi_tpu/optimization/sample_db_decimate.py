@@ -126,12 +126,30 @@ def _compact_dists(db: DecimatingDbState) -> DecimatingDbState:
     )
 
 
-def _decimate(db: DecimatingDbState) -> DecimatingDbState:
-    """Keep every 2nd sample (``[::2]`` — the oldest of each pair survives,
-    reference: sample_db.py:71-74), then compact the distribution table."""
+def _decimate(db: DecimatingDbState, room_needed: jnp.ndarray
+              ) -> DecimatingDbState:
+    """Keep every ``stride``-th sample (oldest of each group survives —
+    stride 2 is exactly the reference's ``[::2]`` slice,
+    reference: sample_db.py:71-74), then compact the distribution table.
+
+    The stride is the smallest power of two that actually frees
+    ``room_needed`` rows: one reference decimation halves, but when a single
+    halving cannot make room (tiny ``max_database_size`` relative to the
+    per-iteration batch) the reference would simply decimate again on the
+    next overflow — applying ``m`` halvings at once (keep every ``2^m``-th)
+    is the same surviving set, and it keeps the static-capacity invariant
+    ``count <= capacity`` (a single fixed halving silently dropped the
+    overflow rows while still counting them)."""
     s = db.capacity
-    src = jnp.minimum(2 * jnp.arange(s), s - 1)
-    new_count = (db.count + 1) // 2
+    room = jnp.maximum(s - room_needed, 1)
+    need = jnp.maximum((db.count + room - 1) // room, 2)
+    stride = jnp.left_shift(
+        1, jnp.ceil(jnp.log2(need.astype(jnp.float32))).astype(jnp.int32))
+    # float-log2 guard: bump once if ceil rounded down
+    stride = jnp.where((db.count + stride - 1) // stride > room,
+                       2 * stride, stride).astype(jnp.int32)
+    src = jnp.minimum(stride * jnp.arange(s), s - 1)
+    new_count = (db.count + stride - 1) // stride
     live = jnp.arange(s) < new_count
     db = db.replace(
         samples=jnp.where(live[:, None], db.samples[src], 0.0),
@@ -164,8 +182,16 @@ def add_samples(
     validf = valid.astype(jnp.int32)
     n_valid = jnp.sum(validf)
 
+    if not db.keep_samples:
+        # use_sample_database=False: each add REPLACES the store, so
+        # add-heuristic candidates come from the newest batch only
+        # (reference: sample_db.py:126-135 rebuilds the DB per add)
+        db = db.replace(count=jnp.asarray(0, jnp.int32),
+                        dist_count=jnp.asarray(0, jnp.int32))
+
     db = jax.lax.cond(
-        db.count + n_valid > s, _decimate, lambda d: d, db)
+        db.count + n_valid > s,
+        lambda d: _decimate(d, n_valid), lambda d: d, db)
     # the table must fit another component block; self-compact when not
     db = jax.lax.cond(
         db.dist_count + model.num_active > db.dist_capacity,

@@ -7,8 +7,10 @@ key — round-trips through one ``.npz`` file, so training actually resumes.
 
 Leaves are keyed by their **pytree path** (e.g. ``model.means``) rather than
 position, and the file carries a format version plus a structure fingerprint
-(path names, shapes, dtypes), so loading into a structurally different state
-fails loudly with the offending paths instead of silently permuting arrays.
+(path names, shapes, dtypes): loading into a state with different paths or
+shapes fails loudly with the offending paths; dtype-only differences (hash
+mismatch with matching paths/shapes, e.g. an x64-mode change) warn and
+coerce.
 """
 from __future__ import annotations
 
@@ -118,6 +120,21 @@ def load_state(path: str, like: Any) -> Any:
             "same static capacities (tpu.max_components, window sizes) or "
             "repad before loading."
         )
+
+    # paths and shapes match here; a structure-hash mismatch can then only
+    # be a dtype difference (e.g. x64 mode changed) — coerced below, but
+    # surfaced so it never passes silently
+    if "__structure_hash__" in data \
+            and str(data["__structure_hash__"]) != structure_hash(like):
+        import warnings
+
+        bad_dtypes = [
+            k for k in expected
+            if np.asarray(expected[k]).dtype != stored[k].dtype
+        ]
+        warnings.warn(
+            "checkpoint leaf dtypes differ from the target state "
+            f"({bad_dtypes[:5]}); coercing to the target dtypes")
 
     new_leaves = []
     for p, ref in leaves_with_path:

@@ -213,3 +213,75 @@ def test_random_samples_keep_samples_false_uses_newest_batch_only():
     assert v.sum() == 10  # only the newest batch qualifies
     np.testing.assert_allclose(np.asarray(s)[v], 2.0)
     np.testing.assert_allclose(np.asarray(lnp)[v], 2.0)
+
+
+def _dec_add(db, model, value, n, it):
+    import jax
+    import jax.numpy as jnp
+    from gmmvi_tpu.optimization import sample_db_decimate as DEC
+
+    d = db.num_dimensions
+    return DEC.add_samples(
+        db, jnp.asarray(it), model, jnp.full((n, d), float(value)),
+        jnp.ones(n, bool), jnp.zeros(n, jnp.int32),
+        jnp.full((n,), float(value)), jnp.zeros((n, d)),
+        jax.random.PRNGKey(it),
+    )
+
+
+def test_decimating_db_never_exceeds_capacity():
+    """Regression: when one halving cannot make room (capacity 20, batch 16)
+    the DB must decimate by a larger stride instead of silently dropping the
+    overflow rows while still counting them (count > capacity corrupted
+    every subsequent window query)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from gmmvi_tpu.models import gmm as G
+    from gmmvi_tpu.optimization import sample_db_decimate as DEC
+
+    rng = np.random.RandomState(0)
+    d, kmax = 2, 2
+    model = G.create_gmm_state(
+        np.full(kmax, 0.5, np.float32), rng.randn(kmax, d).astype(np.float32),
+        np.tile(np.eye(d, dtype=np.float32)[None], (kmax, 1, 1)),
+        max_components=kmax, diagonal=False,
+    )
+    db = DEC.create_decimating_db(d, kmax, capacity=20, dist_capacity=64)
+    for it in range(4):
+        db = _dec_add(db, model, value=it, n=16, it=it)
+        assert int(db.count) <= db.capacity
+    # newest batch must be fully present and uncorrupted
+    cnt = int(db.count)
+    stored = np.asarray(db.samples[:cnt, 0])
+    assert (stored == 3.0).sum() == 16
+    # survivors of older batches are real stored rows, not duplicated junk
+    assert set(np.unique(stored)).issubset({0.0, 1.0, 2.0, 3.0})
+    assert int(db.num_samples_written) == 64
+
+
+def test_decimating_db_keep_samples_false_replaces_store():
+    """tpu.db_eviction: decimate + use_sample_database: false — each add
+    replaces the store (reference sample_db.py:126-135), so random-sample
+    candidates come from the newest batch only."""
+    import jax
+    import numpy as np
+    from gmmvi_tpu.models import gmm as G
+    from gmmvi_tpu.optimization import sample_db_decimate as DEC
+
+    rng = np.random.RandomState(0)
+    d, kmax = 2, 2
+    model = G.create_gmm_state(
+        np.full(kmax, 0.5, np.float32), rng.randn(kmax, d).astype(np.float32),
+        np.tile(np.eye(d, dtype=np.float32)[None], (kmax, 1, 1)),
+        max_components=kmax, diagonal=False,
+    )
+    db = DEC.create_decimating_db(d, kmax, capacity=64, dist_capacity=64,
+                                  keep_samples=False)
+    for it in range(3):
+        db = _dec_add(db, model, value=it, n=10, it=it)
+    assert int(db.count) == 10
+    s, lnp, valid = DEC.get_random_samples(db, jax.random.PRNGKey(9), 16)
+    v = np.asarray(valid)
+    assert v.sum() == 10
+    np.testing.assert_allclose(np.asarray(s)[v], 2.0)
+    assert int(db.num_samples_written) == 30  # feval counter still cumulative

@@ -160,3 +160,36 @@ def test_dryrun_multichip_entry():
     import __graft_entry__ as entry
 
     entry.dryrun_multichip(8)
+
+
+@requires_multidevice
+def test_spmd_gate_does_not_leak_across_instances():
+    """Regression: constructing/running a meshed GMMVI must not leave the
+    process-global Pallas-kernel gate (gmm.SPMD_ACTIVE) set, which would
+    silently disable the fused kernels for later unmeshed instances."""
+    from gmmvi_tpu.models import gmm as G
+
+    assert G.SPMD_ACTIVE is False
+    _, gmmvi_sh = _build(mesh=_mesh())
+    gmmvi_sh.train_iter()
+    assert G.SPMD_ACTIVE is False  # scoped to the trace, not set-once
+    # the scope wrapper reports the right value while tracing
+    seen = []
+    orig = gmmvi_sh._full_step
+
+    def probe(state):
+        seen.append(G.SPMD_ACTIVE)
+        return orig(state)
+
+    jax.jit(gmmvi_sh._spmd_scoped(probe))(gmmvi_sh.state)
+    assert seen == [True]
+
+    _, gmmvi_rep = _build(mesh=None)
+    seen2 = []
+
+    def probe2(state):
+        seen2.append(G.SPMD_ACTIVE)
+        return gmmvi_rep._full_step(state)
+
+    jax.jit(gmmvi_rep._spmd_scoped(probe2))(gmmvi_rep.state)
+    assert seen2 == [False]
