@@ -22,7 +22,7 @@ class GMM_LNPDF(LNPDF):
 
     def __init__(self, target_weights, target_means, target_covs,
                  diagonal=False, make_plots=True):
-        super().__init__(use_log_density_and_grad=False, safe_for_jit=True)
+        super().__init__(use_log_density_and_grad=True, safe_for_jit=True)
         self.target_weights = np.asarray(target_weights, np.float32)
         self.target_means = np.asarray(target_means, np.float32)
         self.target_covs = np.asarray(target_covs, np.float32)
@@ -34,6 +34,13 @@ class GMM_LNPDF(LNPDF):
 
     def log_density(self, x):
         return gmm_ops.log_density(self._state, jnp.asarray(x, jnp.float32))
+
+    def log_density_and_grad(self, x):
+        """Analytic mixture gradient (one forward pass, no per-sample AD —
+        the reference differentiates with a GradientTape)."""
+        ld, grads, _ = gmm_ops.log_density_and_grad(
+            self._state, jnp.asarray(x, jnp.float32))
+        return ld, grads
 
     def marginal_log_density(self, x, dim):
         return gmm_ops.marginal_log_density(self._state, jnp.asarray(x), dim)

@@ -42,7 +42,7 @@ class LogisticRegression(LNPDF):
     features + 1 (bias column prepended); N(0, 10^2) prior."""
 
     def __init__(self, dataset_id: str):
-        super().__init__(use_log_density_and_grad=False, safe_for_jit=True)
+        super().__init__(use_log_density_and_grad=True, safe_for_jit=True)
         if dataset_id == "breast_cancer":
             x, labels = data_lib.load_breast_cancer()
         elif dataset_id == "german_credit":
@@ -76,6 +76,23 @@ class LogisticRegression(LNPDF):
         theta = jnp.asarray(theta, jnp.float32)
         return self.log_likelihood(theta) + self.log_prior(theta)
 
+    def log_density_and_grad(self, theta):
+        """Analytic posterior gradient — two matmuls instead of per-sample
+        reverse-mode AD (the reference uses a GradientTape):
+
+            grad log p(theta) = X^T (sigma(z) - y) - (theta - mu)/std^2
+
+        with z = -X theta (so d z / d theta = -X, and d log-lik / d z is
+        1 - sigma(z) for y=1 and -sigma(z) for y=0)."""
+        theta = jnp.asarray(theta, jnp.float32)
+        z = -jnp.einsum("nf,pf->np", self.data, theta, precision=_PREC)
+        ld = jnp.sum(_stable_loglik_terms(z, self.labels), axis=0) \
+            + self.log_prior(theta)
+        coeff = jax.nn.sigmoid(z) - self.labels[:, None]       # [N, P]
+        grad = jnp.einsum("np,nf->pf", coeff, self.data, precision=_PREC) \
+            - (theta - self.prior_mean) / self.prior_std ** 2
+        return ld, grad
+
 
 class LogisticRegression_minibatch(LogisticRegression):
     """Minibatch variant with per-iteration reshuffling and optional
@@ -85,6 +102,9 @@ class LogisticRegression_minibatch(LogisticRegression):
                  use_own_batch_per_sample: bool, seed: int = 0):
         super().__init__(dataset_id)
         self._safe_for_jit = False  # stateful host-side data shuffling
+        # the full-batch analytic gradient does not apply to minibatches;
+        # this variant sticks with per-sample autodiff of log_density
+        self._use_log_density_and_grad = False
         self._np_data = np.asarray(self.data)
         self._np_labels = np.asarray(self.labels)
         if size_test_set > 0:

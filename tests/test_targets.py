@@ -184,3 +184,40 @@ def test_init_experiment_registry():
     np.testing.assert_allclose(np.asarray(model.means[0]), 0.0, atol=1e-6)
     cov = np.asarray(model.covs[0])
     np.testing.assert_allclose(cov, 1000.0 * np.eye(3), rtol=1e-5)
+
+
+def test_analytic_target_grads_match_autodiff():
+    """Analytic log_density_and_grad (STM / GMM / logistic regression) must
+    match per-sample reverse-mode AD of log_density (the round-1 path)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gmmvi_tpu.experiments.targets.gmm import make_target as make_gmm
+    from gmmvi_tpu.experiments.targets.logistic_regression import (
+        make_breast_cancer,
+    )
+    from gmmvi_tpu.experiments.targets.student_t_mixture import (
+        make_target as make_stm,
+    )
+
+    rng = np.random.RandomState(0)
+    targets = [
+        (make_stm(num_dimensions=6, harder_setting=False, seed=1), 6, 3.0),
+        (make_gmm(num_dimensions=5, seed=2), 5, 30.0),
+        (make_breast_cancer(), None, 0.3),
+    ]
+    for target, d, spread in targets:
+        assert target.use_log_density_and_grad
+        d = d or target.get_num_dimensions()
+        x = jnp.asarray(rng.randn(64, d).astype(np.float32) * spread)
+        ld, grad = target.log_density_and_grad(x)
+        ld_ad, grad_ad = jax.vmap(
+            jax.value_and_grad(lambda s: target.log_density(s[None])[0])
+        )(x)
+        np.testing.assert_allclose(np.asarray(ld), np.asarray(ld_ad),
+                                   rtol=2e-5, atol=2e-5)
+        scale = np.maximum(np.abs(np.asarray(grad_ad)), 1.0)
+        np.testing.assert_allclose(np.asarray(grad) / scale,
+                                   np.asarray(grad_ad) / scale,
+                                   rtol=3e-4, atol=3e-4)
