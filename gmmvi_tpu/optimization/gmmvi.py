@@ -111,6 +111,10 @@ class GMMVI:
         self.prior_cov_diag = (
             None if prior_cov_diag is None else jnp.asarray(prior_cov_diag)
         )
+        if mesh is not None and "data" not in mesh.axis_names:
+            raise ValueError(
+                f"mesh axes must include 'data' (got {mesh.axis_names}); "
+                "use parallel.mesh.data_mesh or hybrid_mesh")
         self.mesh = mesh
         self.trust_region_search = trust_region_search
         self.trust_region_grid_size = int(trust_region_grid_size)

@@ -70,6 +70,33 @@ def hybrid_mesh(num_comp: int, num_devices: Optional[int] = None) -> Mesh:
     )
 
 
+def mesh_from_config(tpu_cfg: dict) -> Optional[Mesh]:
+    """Build a mesh from the config's ``tpu:`` section, or None.
+
+    ``tpu.data_shards`` (int or "all") requests a 1-D ``data`` mesh;
+    adding ``tpu.comp_shards: M`` requests the 2-D hybrid mesh with the
+    component axis sharded M-way.  This makes multi-chip runs configurable
+    from YAML — no programmatic mesh construction needed."""
+    tpu_cfg = tpu_cfg or {}
+    data = tpu_cfg.get("data_shards")
+    comp = int(tpu_cfg.get("comp_shards", 1))
+    if data is None and comp <= 1:
+        return None
+    n_avail = len(jax.devices())
+    if data in (None, "all", -1):
+        n = n_avail
+    else:
+        n = int(data) * comp
+    if n > n_avail:
+        raise ValueError(
+            f"tpu mesh config requests {n} devices "
+            f"(data_shards={data}, comp_shards={comp}) but only "
+            f"{n_avail} are visible")
+    if comp > 1:
+        return hybrid_mesh(num_comp=comp, num_devices=n)
+    return data_mesh(num_devices=n)
+
+
 def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
     """Sharding for a batch tensor: leading axis over ``data``, rest
     replicated."""

@@ -83,7 +83,13 @@ class GmmviRunner:
     def build_from_config(config: dict,
                           mesh: Optional[jax.sharding.Mesh] = None
                           ) -> "GmmviRunner":
-        """(reference: gmmvi_runner.py:63-81)"""
+        """(reference: gmmvi_runner.py:63-81).  A mesh may be passed
+        programmatically or requested from YAML via ``tpu.data_shards`` /
+        ``tpu.comp_shards`` (see parallel.mesh.mesh_from_config)."""
+        if mesh is None:
+            from gmmvi_tpu.parallel.mesh import mesh_from_config
+
+            mesh = mesh_from_config(config.get("tpu", {}) or {})
         return GmmviRunner(config=config, mesh=mesh,
                            **config["gmmvi_runner_config"])
 

@@ -193,3 +193,57 @@ def test_spmd_gate_does_not_leak_across_instances():
 
     jax.jit(gmmvi_rep._spmd_scoped(probe2))(gmmvi_rep.state)
     assert seen2 == [False]
+
+
+@requires_multidevice
+def test_mesh_from_config_yaml_knobs():
+    """tpu.data_shards / tpu.comp_shards build the right meshes, and the
+    runner picks them up from the config without a programmatic mesh."""
+    from gmmvi_tpu.parallel.mesh import mesh_from_config
+
+    assert mesh_from_config({}) is None
+    m = mesh_from_config({"data_shards": 8})
+    assert m.axis_names == ("data",) and m.devices.shape == (8,)
+    m = mesh_from_config({"data_shards": 4, "comp_shards": 2})
+    assert m.axis_names == ("data", "comp") and m.devices.shape == (4, 2)
+    m = mesh_from_config({"data_shards": "all", "comp_shards": 2})
+    assert m.devices.shape == (4, 2)
+    with pytest.raises(ValueError, match="devices"):
+        mesh_from_config({"data_shards": 16})
+
+    # end to end through the runner (tiny shapes, a couple of iterations)
+    from gmmvi_tpu.runner import GmmviRunner
+    from gmmvi_tpu.experiments.targets.gmm import make_simple_target
+    from gmmvi_tpu.configs import get_default_algorithm_config, update_config
+
+    cfg = get_default_algorithm_config("SAMTRON")
+    cfg = update_config(cfg, {
+        "start_seed": 1, "target_fn": make_simple_target(),
+        "model_initialization": {
+            "use_diagonal_covs": False, "num_initial_components": 3,
+            "prior_mean": 0.0, "prior_scale": 3.0, "initial_cov": 4.0,
+        },
+        "use_sample_database": True, "max_database_size": 100000,
+        "temperature": 1.0,
+        "sample_selector_config": {"desired_samples_per_component": 16,
+                                   "ratio_reused_samples_to_desired": 1.0},
+        "num_component_adapter_config": {
+            "del_iters": 8, "add_iters": 5, "max_components": 8,
+            "thresholds_for_add_heuristic": [500.0, 100.0],
+            "min_weight_for_del_heuristic": 1e-6,
+            "num_database_samples": 128, "num_prior_samples": 0,
+        },
+        "gmmvi_runner_config": {"log_metrics_interval": 100},
+        "tpu": {"max_components": 8, "data_shards": 4, "comp_shards": 2},
+    })
+    runner = GmmviRunner.build_from_config(cfg)
+    assert runner.gmmvi.mesh is not None
+    assert runner.gmmvi.mesh.axis_names == ("data", "comp")
+    runner.iterate_and_log(0)
+
+
+@requires_multidevice
+def test_mesh_requires_data_axis():
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(8), ("batch",))
+    with pytest.raises(ValueError, match="must include 'data'"):
+        _build(mesh=mesh)
