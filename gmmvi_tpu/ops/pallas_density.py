@@ -143,12 +143,28 @@ def _densities_kernel(w1_ref, b1_ref, logdet_ref, logw_ref, x_ref,
     model_ref[...] = model
 
 
+def _pick_n_tile(kd: int, passes: int) -> int:
+    """Largest N tile keeping the kernel's VMEM residency under ~12 MB:
+    each matmul pass holds a [kd, T] f32 intermediate (plus the reshaped
+    per-component view).  kd=1984 with T=512 measured a 16.01 MB scoped-VMEM
+    overflow on v5e (breast-cancer shape, K_pad=64, D=31)."""
+    budget = 12 * 1024 * 1024
+    t = _N_TILE
+    # passes matmul intermediates + the reshaped per-component view + the
+    # responsibility-weighted contribution tile (measured: kd=1984, T=512
+    # lands at ~16 MB, i.e. ~4 tile-sized buffers live at once)
+    while t > 128 and (passes + 2) * kd * t * 4 > budget:
+        t //= 2
+    return t
+
+
 @functools.partial(jax.jit, static_argnames=("d", "k_pad", "interpret"))
 def _fused_densities_call(w1, b1, logdets, logws, x, d, k_pad,
                           interpret=False):
     kd, d_pad = w1.shape
     n_pad = x.shape[1]
-    n_tiles = n_pad // _N_TILE
+    t = _pick_n_tile(kd, passes=1)
+    n_tiles = n_pad // t
     kernel = functools.partial(_densities_kernel, d=d, k_pad=k_pad)
     comp, model = pl.pallas_call(
         kernel,
@@ -158,11 +174,11 @@ def _fused_densities_call(w1, b1, logdets, logws, x, d, k_pad,
             pl.BlockSpec((kd, 1), lambda i: (0, 0)),
             pl.BlockSpec((k_pad, 1), lambda i: (0, 0)),
             pl.BlockSpec((k_pad, 1), lambda i: (0, 0)),
-            pl.BlockSpec((d_pad, _N_TILE), lambda i: (0, i)),
+            pl.BlockSpec((d_pad, t), lambda i: (0, i)),
         ],
         out_specs=[
-            pl.BlockSpec((k_pad, _N_TILE), lambda i: (0, i)),
-            pl.BlockSpec((8, _N_TILE), lambda i: (0, i)),
+            pl.BlockSpec((k_pad, t), lambda i: (0, i)),
+            pl.BlockSpec((8, t), lambda i: (0, i)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((k_pad, n_pad), jnp.float32),
@@ -178,7 +194,8 @@ def _fused_density_call(w1, b1, w2, b2, logdets, logws, x, d, k_pad,
                         interpret=False):
     kd, d_pad = w1.shape
     n_pad = x.shape[1]
-    n_tiles = n_pad // _N_TILE
+    t = _pick_n_tile(kd, passes=2)
+    n_tiles = n_pad // t
     kernel = functools.partial(_density_pack_kernel, d=d, k_pad=k_pad)
     comp, model, grads = pl.pallas_call(
         kernel,
@@ -190,12 +207,12 @@ def _fused_density_call(w1, b1, w2, b2, logdets, logws, x, d, k_pad,
             pl.BlockSpec((kd, 1), lambda i: (0, 0)),
             pl.BlockSpec((k_pad, 1), lambda i: (0, 0)),
             pl.BlockSpec((k_pad, 1), lambda i: (0, 0)),
-            pl.BlockSpec((d_pad, _N_TILE), lambda i: (0, i)),
+            pl.BlockSpec((d_pad, t), lambda i: (0, i)),
         ],
         out_specs=[
-            pl.BlockSpec((k_pad, _N_TILE), lambda i: (0, i)),
-            pl.BlockSpec((8, _N_TILE), lambda i: (0, i)),
-            pl.BlockSpec((_round_up(d, 8), _N_TILE), lambda i: (0, i)),
+            pl.BlockSpec((k_pad, t), lambda i: (0, i)),
+            pl.BlockSpec((8, t), lambda i: (0, i)),
+            pl.BlockSpec((_round_up(d, 8), t), lambda i: (0, i)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((k_pad, n_pad), jnp.float32),

@@ -308,3 +308,36 @@ def test_tr_update_pallas_matches_xla_path():
                                   np.asarray(r_xla.model.chols))
     np.testing.assert_array_equal(np.asarray(r_pal.meta.last_etas),
                                   np.asarray(r_xla.meta.last_etas))
+
+
+def test_fused_density_pack_large_kd_tiles():
+    """Regression: K_pad*D near the 2048 bound picks a smaller N tile
+    (kd=1984 with T=512 measured a 16.01 MB scoped-VMEM overflow on v5e at
+    the breast-cancer shape, K_pad=64, D=31) and still matches XLA."""
+    from gmmvi_tpu.ops.pallas_density import _pick_n_tile, fused_density_pack
+    from gmmvi_tpu.models import gmm as G
+
+    assert _pick_n_tile(960, passes=2) == 512   # flagship: unchanged
+    assert _pick_n_tile(1984, passes=2) == 256  # breast-cancer: halved
+
+    rng = np.random.RandomState(3)
+    k, d, n = 60, 31, 700
+    w = rng.dirichlet(np.ones(k)).astype(np.float32)
+    mu = rng.randn(k, d).astype(np.float32)
+    a = rng.randn(k, d, d).astype(np.float32) * 0.2
+    covs = np.einsum("kij,klj->kil", a, a) + np.eye(d, dtype=np.float32)
+    state = G.create_gmm_state(w, mu, covs, max_components=64)
+    x = jnp.asarray(rng.randn(n, d).astype(np.float32))
+
+    logdets = jnp.sum(jnp.log(jnp.abs(jnp.diagonal(
+        state.chols, axis1=-2, axis2=-1))), axis=-1)
+    lw = jnp.where(state.mask, state.log_weights, -jnp.inf)
+    comp, model, grads = fused_density_pack(
+        state.means, state.inv_chols, lw, logdets, x, interpret=True)
+
+    want_comp = np.asarray(G.component_log_densities(state, x))
+    want_model = np.asarray(G.log_density(state, x))
+    np.testing.assert_allclose(np.asarray(comp)[:k], want_comp[:k],
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(model), want_model,
+                               rtol=2e-4, atol=2e-4)
