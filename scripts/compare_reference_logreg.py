@@ -100,7 +100,7 @@ def run_ours(iters, n_des, kmax, seed=0):
     cfg = update_config(cfg, {
         "environment_name": "breastCancer", "environment_config": {},
         "seed": seed, "gmmvi_runner_config": {"log_metrics_interval": 100},
-        "tpu": {"max_components": min(kmax, 64)},
+        # padding defaults tight (auto-repad grows it on demand)
     })
     target, model, meta = init_experiment(cfg)
     gmmvi = GMMVI.build_from_config(cfg, target, model, meta)
