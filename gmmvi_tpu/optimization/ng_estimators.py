@@ -215,7 +215,16 @@ def more_estimate(
             gneg = quad @ mean_k - lin
         return hneg, gneg
 
+    # sequential map over K: measured FASTER than chunked vmap on v5e
+    # (chunk 1/4/16/48 -> 30/30/38/39 ms per ZAMTRON stm20 iteration; the
+    # [chunk, N, F] design matrices blow past cache and the fits become
+    # HBM-bound).  GMMVI_MORE_CHUNK overrides for experimentation.
+    import os
+
+    env = os.environ.get("GMMVI_MORE_CHUNK")
+    chunk = max(1, min(model.max_components, int(env))) if env else 1
     hneg, gneg = jax.lax.map(
-        fit_one, (w, l2_regularizers, model.means, model.inv_chols)
+        fit_one, (w, l2_regularizers, model.means, model.inv_chols),
+        batch_size=chunk,
     )
     return NgEstimate(hneg, gneg)
