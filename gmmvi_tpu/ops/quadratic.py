@@ -92,21 +92,40 @@ def fit_quadratic(
         z = jnp.einsum("ij,nj->ni", sample_inv_chol, centered, precision=_PREC)
 
     feats = quadratic_features(z)  # [N, F]
-    f = feats.shape[1]
     wf = weights[:, None] * feats
     gram = jnp.einsum("nf,ng->fg", wf, feats, precision=_PREC)
     rhs = jnp.einsum("nf,n->f", wf, outputs, precision=_PREC)
-    reg = regularizer * jnp.eye(f, dtype=inputs.dtype)
+    return solve_quadratic_normal_eqs(
+        gram, rhs, regularizer, sample_mean, sample_inv_chol,
+        diagonal=diagonal)
+
+
+def solve_quadratic_normal_eqs(
+    gram: jnp.ndarray,             # [F, F]
+    rhs: jnp.ndarray,              # [F]
+    regularizer: jnp.ndarray,
+    sample_mean: jnp.ndarray,      # [D]
+    sample_inv_chol: jnp.ndarray,  # [D, D] lower (or [D] diagonal)
+    diagonal: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Solve + unwhiten given the weighted normal equations over the
+    whitened quadratic features (the tail of :func:`fit_quadratic`; the
+    gram/rhs may come from the fused Pallas kernel,
+    :func:`gmmvi_tpu.ops.pallas_more.fused_more_grams`)."""
+    f = gram.shape[0]
+    d = sample_mean.shape[0]
+    dtype = gram.dtype
+    reg = regularizer * jnp.eye(f, dtype=dtype)
     reg = reg.at[f - 1, f - 1].set(0.0)  # bias unregularized (least_squares.py:71-73)
     # the ridge-regularized Gram is SPD, so solve by Cholesky: TPU's pivoted
     # LU (jnp.linalg.solve) measured ~20 ms across K=48 fits per ZAMTRON
-    # stm20 iteration; Cholesky is the dominant-cost fix (same solution —
-    # the reference's tf.linalg.solve is LU on CPU where pivoting is cheap)
+    # stm20 iteration (the reference's tf.linalg.solve is LU on CPU where
+    # pivoting is cheap)
     chol = jnp.linalg.cholesky(gram + reg)
     params = jax.scipy.linalg.cho_solve((chol, True), rhs)
 
     iu, ju = jnp.triu_indices(d)
-    qt = jnp.zeros((d, d), inputs.dtype).at[iu, ju].set(params[: f - (d + 1)])
+    qt = jnp.zeros((d, d), dtype).at[iu, ju].set(params[: f - (d + 1)])
     quad_term = -qt - qt.T
     lin_term = params[f - (d + 1): f - 1]
     const_term = params[f - 1]
@@ -121,7 +140,7 @@ def fit_quadratic(
             precision=_PREC,
         )
         t1 = jnp.einsum("ji,j->i", sample_inv_chol, lin_term, precision=_PREC)
-    t2 = quad_w @ sample_mean if not diagonal else quad_w @ sample_mean
+    t2 = quad_w @ sample_mean
     lin_w = t1 + t2
     const_w = const_term + jnp.sum(sample_mean * (-0.5 * t2 - t1))
     return quad_w, lin_w, const_w

@@ -215,6 +215,29 @@ def more_estimate(
             gneg = quad @ mean_k - lin
         return hneg, gneg
 
+    mode = _fused_more_mode(model, samples.shape[0])
+    if mode != "off":
+        # one streamed pass builds every component's weighted normal
+        # equations (whiten + features + Gram fused in VMEM; no [N, F]
+        # design matrices in HBM); solve + unwhiten stay in XLA
+        from gmmvi_tpu.ops.pallas_more import fused_more_grams
+        from gmmvi_tpu.ops.quadratic import solve_quadratic_normal_eqs
+
+        w_masked = jnp.where(sample_mask[None, :], w, 0.0)
+        gram, rhs = fused_more_grams(
+            model.inv_chols, model.means, w_masked, log_ratios, samples,
+            interpret=(mode == "interpret"))
+
+        def finish(args):
+            gram_k, rhs_k, reg_k, mean_k, inv_chol_k = args
+            quad, lin, _ = solve_quadratic_normal_eqs(
+                gram_k, rhs_k, reg_k, mean_k, inv_chol_k, diagonal=False)
+            return quad, quad @ mean_k - lin
+
+        hneg, gneg = jax.vmap(finish)(
+            (gram, rhs, l2_regularizers, model.means, model.inv_chols))
+        return NgEstimate(hneg, gneg)
+
     # sequential map over K: measured FASTER than chunked vmap on v5e
     # (chunk 1/4/16/48 -> 30/30/38/39 ms per ZAMTRON stm20 iteration; the
     # [chunk, N, F] design matrices blow past cache and the fits become
@@ -228,3 +251,31 @@ def more_estimate(
         batch_size=chunk,
     )
     return NgEstimate(hneg, gneg)
+
+
+def _fused_more_mode(model: GmmState, n: int) -> str:
+    """'pallas' | 'interpret' | 'off' for the fused MORE Gram kernel
+    (GMMVI_FUSED_MORE overrides; same gating policy as the density
+    kernels: off under SPMD — opaque custom call — and off for diagonal
+    models, whose whitening is cheap elementwise anyway)."""
+    import os
+
+    from gmmvi_tpu.models import gmm as gmm_module
+    from gmmvi_tpu.ops import pallas_more
+
+    mode = os.environ.get("GMMVI_FUSED_MORE", "auto")
+    if mode == "0":
+        return "off"
+    if model.diagonal or not pallas_more.supports(model.num_dimensions, n):
+        return "off"
+    if gmm_module.SPMD_ACTIVE and mode not in ("1", "interpret"):
+        return "off"
+    if mode == "interpret":
+        return "interpret"
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        on_tpu = False
+    if mode == "1" or on_tpu:
+        return "pallas"
+    return "off"

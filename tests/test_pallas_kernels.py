@@ -341,3 +341,85 @@ def test_fused_density_pack_large_kd_tiles():
                                rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(model), want_model,
                                rtol=2e-4, atol=2e-4)
+
+
+def test_fused_more_grams_matches_fit_quadratic():
+    """The streamed MORE Gram kernel + XLA solve must reproduce
+    fit_quadratic exactly (same normal equations, same feature ordering)."""
+    from gmmvi_tpu.ops.pallas_more import fused_more_grams
+    from gmmvi_tpu.ops.quadratic import (fit_quadratic,
+                                         solve_quadratic_normal_eqs)
+
+    rng = np.random.RandomState(5)
+    k, d, n = 5, 7, 600
+    means = rng.randn(k, d).astype(np.float32)
+    a = rng.randn(k, d, d).astype(np.float32) * 0.3
+    covs = np.einsum("kij,klj->kil", a, a) + np.eye(d, dtype=np.float32)
+    inv_chols = np.stack([np.linalg.inv(np.linalg.cholesky(c))
+                          for c in covs]).astype(np.float32)
+    x = rng.randn(n, d).astype(np.float32)
+    y = rng.randn(n).astype(np.float32)
+    w = rng.rand(k, n).astype(np.float32)
+    w[:, -50:] = 0.0  # masked tail
+    regs = (10.0 ** rng.uniform(-8, -2, k)).astype(np.float32)
+
+    gram, rhs = fused_more_grams(
+        jnp.asarray(inv_chols), jnp.asarray(means), jnp.asarray(w),
+        jnp.asarray(y), jnp.asarray(x), interpret=True)
+
+    for i in range(k):
+        quad_f, lin_f, const_f = solve_quadratic_normal_eqs(
+            gram[i], rhs[i], jnp.asarray(regs[i]), jnp.asarray(means[i]),
+            jnp.asarray(inv_chols[i]))
+        quad_d, lin_d, const_d = fit_quadratic(
+            jnp.asarray(regs[i]), jnp.asarray(x), jnp.asarray(y),
+            jnp.asarray(w[i]), jnp.asarray(means[i]),
+            jnp.asarray(inv_chols[i]))
+        np.testing.assert_allclose(np.asarray(quad_f), np.asarray(quad_d),
+                                   rtol=2e-3, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(lin_f), np.asarray(lin_d),
+                                   rtol=2e-3, atol=2e-3)
+
+
+def test_more_estimate_fused_matches_map_path():
+    """more_estimate through the interpret-mode kernel equals the lax.map
+    XLA path on identical inputs."""
+    import os
+
+    from gmmvi_tpu.models import gmm as G
+    from gmmvi_tpu.optimization import ng_estimators as E
+
+    rng = np.random.RandomState(6)
+    k, d, n = 4, 5, 600
+    weights = rng.dirichlet(np.ones(k)).astype(np.float32)
+    mu = rng.randn(k, d).astype(np.float32)
+    a = rng.randn(k, d, d).astype(np.float32) * 0.3
+    covs = np.einsum("kij,klj->kil", a, a) + np.eye(d, dtype=np.float32)
+    state = G.create_gmm_state(weights, mu, covs, max_components=k + 2)
+    samples = jnp.asarray(rng.randn(n, d).astype(np.float32))
+    mask = np.ones(n, bool)
+    mask[-40:] = False
+    mapping = jnp.asarray(rng.randint(0, k, n).astype(np.int32))
+    bg = G.log_density(state, samples)
+    lnpdfs = jnp.asarray(rng.randn(n).astype(np.float32))
+    regs = jnp.asarray(
+        (10.0 ** rng.uniform(-8, -4, k + 2)).astype(np.float32))
+
+    args = (state, samples, jnp.asarray(mask), mapping, bg, lnpdfs, regs)
+    old = os.environ.get("GMMVI_FUSED_MORE")
+    try:
+        os.environ["GMMVI_FUSED_MORE"] = "interpret"
+        got = E.more_estimate(*args)
+        os.environ["GMMVI_FUSED_MORE"] = "0"
+        want = E.more_estimate(*args)
+    finally:
+        if old is None:
+            os.environ.pop("GMMVI_FUSED_MORE", None)
+        else:
+            os.environ["GMMVI_FUSED_MORE"] = old
+    np.testing.assert_allclose(np.asarray(got.expected_hessians_neg),
+                               np.asarray(want.expected_hessians_neg),
+                               rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got.expected_gradients_neg),
+                               np.asarray(want.expected_gradients_neg),
+                               rtol=2e-3, atol=2e-3)
