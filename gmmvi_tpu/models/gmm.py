@@ -543,16 +543,24 @@ def replace_weights(state: GmmState, new_log_weights: jnp.ndarray) -> GmmState:
 
 
 def replace_components(
-    state: GmmState, new_means: jnp.ndarray, new_chols: jnp.ndarray
+    state: GmmState, new_means: jnp.ndarray, new_chols: jnp.ndarray,
+    new_inv_chols: Optional[jnp.ndarray] = None,
 ) -> GmmState:
     """Replace means/chols of active components; refreshes inv_chol cache
-    (reference: gmm.py:401-418)."""
+    (reference: gmm.py:401-418).
+
+    ``new_inv_chols`` lets updaters that already hold the inverse factors
+    (see ``component_updaters._chol_pair_from_prec``) skip the triangular
+    re-inversion here; inactive slots are padded with identity either way.
+    """
     mask = state.mask
     means = jnp.where(mask[:, None], new_means, state.means)
     chols = safe_chol_pad(new_chols, mask, state.diagonal)
-    return state.replace(
-        means=means, chols=chols, inv_chols=invert_chol(chols, state.diagonal)
-    )
+    if new_inv_chols is None:
+        inv_chols = invert_chol(chols, state.diagonal)
+    else:
+        inv_chols = safe_chol_pad(new_inv_chols, mask, state.diagonal)
+    return state.replace(means=means, chols=chols, inv_chols=inv_chols)
 
 
 def add_component(

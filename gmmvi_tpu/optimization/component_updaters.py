@@ -30,7 +30,8 @@ class ComponentUpdateResult(NamedTuple):
     meta: MetaState
 
 
-def _finish_update(model, meta, new_means, new_chols, successes, etas=None):
+def _finish_update(model, meta, new_means, new_chols, successes, etas=None,
+                   new_inv_chols=None):
     """Shared post-update bookkeeping: l2-regularizer adaptation (halve on
     success floored at the initial value, x10 capped at 1e-6 on failure),
     update counters, replace parameters
@@ -49,8 +50,36 @@ def _finish_update(model, meta, new_means, new_chols, successes, etas=None):
         meta = meta.replace(
             last_etas=jnp.where(mask, etas, meta.last_etas)
         )
-    model = replace_components(model, new_means, new_chols)
+    model = replace_components(model, new_means, new_chols,
+                               new_inv_chols=new_inv_chols)
     return ComponentUpdateResult(model, meta)
+
+
+def _chol_pair_from_prec(new_prec: jnp.ndarray):
+    """Lower Cholesky of ``inv(new_prec)`` AND its inverse, without an LU
+    inverse or a second Cholesky.
+
+    Exchange identity: with ``P~ = flip(P)`` (both matrix axes reversed) and
+    ``Lt = chol(P~)``, the unique lower Cholesky of ``P^-1`` is
+    ``flip(Lt^-T)`` and its inverse is ``flip(Lt^T)`` (free).  One Cholesky +
+    one triangular inversion replaces the reference-shaped
+    ``chol(inv(P))`` chain (ng_based_component_updater.py:113-118 uses
+    tf.linalg.inv + cholesky); TPU's pivoted-LU inverse measured ~2x the cost
+    of the entire remaining update at D=300 (RESULTS_r02.md).
+
+    Returns ``(chol_of_inv, inv_of_that_chol)``; NaNs propagate to both
+    outputs when ``new_prec`` is not SPD, so callers' NaN success masks see
+    failures exactly as before.
+    """
+    pf = new_prec[..., ::-1, ::-1]
+    lt = jnp.linalg.cholesky(pf)
+    eye = jnp.eye(new_prec.shape[-1], dtype=new_prec.dtype)
+    lt_inv = jax.lax.linalg.triangular_solve(
+        lt, jnp.broadcast_to(eye, new_prec.shape),
+        left_side=True, lower=True)
+    new_chol = jnp.swapaxes(lt_inv, -1, -2)[..., ::-1, ::-1]
+    new_inv_chol = jnp.swapaxes(lt, -1, -2)[..., ::-1, ::-1]
+    return new_chol, new_inv_chol
 
 
 def _old_canonical(model: GmmState):
@@ -91,22 +120,30 @@ def direct_update(
         )
         new_prec = old_prec + s[:, None, None] * hessians_neg
         new_lin = old_lin + s[:, None] * delta_lin
-        new_mean = jax.vmap(jnp.linalg.solve)(new_prec, new_lin)
-        new_cov = jax.vmap(jnp.linalg.inv)(new_prec)
-        new_chol = jax.vmap(jnp.linalg.cholesky)(new_cov)
+        new_chol, new_inv_chol = _chol_pair_from_prec(new_prec)
+        # solve new_prec @ mean = new_lin with the factors already in hand:
+        # inv(P) = new_chol @ new_chol^T
+        new_mean = jnp.einsum(
+            "kij,kj->ki", new_chol,
+            jnp.einsum("kji,kj->ki", new_chol, new_lin, precision=_PREC),
+            precision=_PREC,
+        )
         success = jnp.logical_not(
             jnp.any(jnp.isnan(new_chol), axis=(-2, -1))
             | jnp.any(jnp.isnan(new_mean), axis=-1)
         )
 
     sel = success & model.mask
+    new_mean = jnp.where(sel[:, None], new_mean, model.means)
     if model.diagonal:
-        new_mean = jnp.where(sel[:, None], new_mean, model.means)
         new_chol = jnp.where(sel[:, None], new_chol, model.chols)
+        new_inv_chol = None
     else:
-        new_mean = jnp.where(sel[:, None], new_mean, model.means)
         new_chol = jnp.where(sel[:, None, None], new_chol, model.chols)
-    return _finish_update(model, meta, new_mean, new_chol, success)
+        new_inv_chol = jnp.where(sel[:, None, None], new_inv_chol,
+                                 model.inv_chols)
+    return _finish_update(model, meta, new_mean, new_chol, success,
+                          new_inv_chols=new_inv_chol)
 
 
 # ---------------------------------------------------------------------------
@@ -146,12 +183,15 @@ def iblr_update(
             "kij,kj->ki", cov, -grads_neg, precision=_PREC
         )
         new_mean = jnp.where(first[:, None], model.means, model.means + mean_step)
-        new_cov = jax.vmap(jnp.linalg.inv)(new_prec)
-        new_chol = jax.vmap(jnp.linalg.cholesky)(new_cov)
+        new_chol, new_inv_chol = _chol_pair_from_prec(new_prec)
         success = jnp.logical_not(jnp.any(jnp.isnan(new_chol), axis=(-2, -1)))
         sel = success & model.mask
         new_mean = jnp.where(sel[:, None], new_mean, model.means)
         new_chol = jnp.where(sel[:, None, None], new_chol, model.chols)
+        new_inv_chol = jnp.where(sel[:, None, None], new_inv_chol,
+                                 model.inv_chols)
+        return _finish_update(model, meta, new_mean, new_chol, success,
+                              new_inv_chols=new_inv_chol)
     return _finish_update(model, meta, new_mean, new_chol, success)
 
 
@@ -189,6 +229,71 @@ def _tr_kl_full(eta, old_lin, old_prec, old_inv_chol, reward_lin, reward_quad,
     return kl, new_mean, inv_chol_p
 
 
+def _tr_kl_full_trip(eta, old_lin, old_prec, old_inv_chol, reward_lin,
+                     reward_quad, kl_const, old_mean):
+    """Per-trip KL only — the bisection's hot body.
+
+    Same KL value as :func:`_tr_kl_full` (the trace term's
+    ``inv(chol_p) @ old_inv_chol^T`` is evaluated as one triangular solve
+    instead of an explicit triangular inversion followed by a matmul), but
+    never materializes the factors the search doesn't need.  At D=300 the
+    removed inverse+matmul were ~half of every trip's FLOPs."""
+    d = old_mean.shape[0]
+    new_lin = (eta * old_lin + reward_lin) / eta
+    new_prec = (eta * old_prec + reward_quad) / eta
+    chol_p = jnp.linalg.cholesky(new_prec)
+    bad = jnp.any(jnp.isnan(chol_p))
+    chol_p_safe = jnp.where(bad, jnp.eye(d, dtype=chol_p.dtype), chol_p)
+    new_mean = jax.scipy.linalg.cho_solve((chol_p_safe, True), new_lin)
+    new_logdet = -2.0 * jnp.sum(jnp.log(jnp.diag(chol_p_safe)))
+    half = jax.scipy.linalg.solve_triangular(
+        chol_p_safe, old_inv_chol.T, lower=True
+    )
+    diff = old_mean - new_mean
+    kl = 0.5 * (
+        kl_const - new_logdet + jnp.sum(jnp.square(half))
+        + jnp.sum(jnp.square(old_inv_chol @ diff))
+    )
+    return (jnp.where(bad, F32_MAX, kl),)
+
+
+def _tr_final_full(eta, old_lin, old_prec, old_inv_chol, reward_lin,
+                   reward_quad, kl_const, old_mean):
+    """KL + updated parameters at the accepted eta.
+
+    One flipped Cholesky yields BOTH the new covariance Cholesky and its
+    inverse (:func:`_chol_pair_from_prec`) — no triangular inversion, no
+    second Cholesky of the reconstructed covariance, and the inv_chol cache
+    refresh in ``replace_components`` is skipped (the reference reconstructs
+    via explicit inversion, ng_based_component_updater.py:478-497).
+    Returns ``(kl, new_mean, new_chol, new_inv_chol)``."""
+    d = old_mean.shape[0]
+    new_lin = (eta * old_lin + reward_lin) / eta
+    new_prec = (eta * old_prec + reward_quad) / eta
+    new_chol, new_inv_chol = _chol_pair_from_prec(new_prec)
+    bad = jnp.any(jnp.isnan(new_chol))
+    eye = jnp.eye(d, dtype=new_chol.dtype)
+    chol_safe = jnp.where(bad, eye, new_chol)
+    inv_safe = jnp.where(bad, eye, new_inv_chol)
+    # new_mean = Sigma_new @ new_lin with Sigma_new = chol @ chol^T
+    new_mean = jnp.einsum(
+        "ij,j->i", chol_safe,
+        jnp.einsum("ji,j->i", chol_safe, new_lin, precision=_PREC),
+        precision=_PREC,
+    )
+    new_logdet = 2.0 * jnp.sum(jnp.log(jnp.diag(chol_safe)))
+    # tr(Lambda_old Sigma_new) = ||L_old^-1 L_new||_F^2
+    trace_term = jnp.sum(jnp.square(old_inv_chol @ chol_safe))
+    diff = old_mean - new_mean
+    kl = 0.5 * (
+        kl_const - new_logdet + trace_term
+        + jnp.sum(jnp.square(old_inv_chol @ diff))
+    )
+    kl = jnp.where(bad, F32_MAX, kl)
+    new_mean = jnp.where(bad, old_mean, new_mean)
+    return kl, new_mean, chol_safe, inv_safe
+
+
 def _tr_kl_diag(eta, old_lin, old_prec, old_inv_chol, reward_lin, reward_quad,
                 kl_const, old_mean):
     """Diagonal variant with the numerically-stabler form
@@ -210,14 +315,22 @@ def _tr_kl_diag(eta, old_lin, old_prec, old_inv_chol, reward_lin, reward_quad,
     return kl, new_mean, inv_chol_p
 
 
-def _bracketing_search(kl_fn, kl_bound, lower0, upper0):
+def _bracketing_search(kl_fn, kl_bound, lower0, upper0, active=None):
     """Log-space bracketing search for the largest stepsize satisfying the KL
     bound (reference: ng_based_component_updater.py:335-429).  Up to 1000
     iterations; stops when the bracket width (in eta space) is < 0.1 or
     |KL - bound| < 0.1 * bound (then lower = upper = eta).  The visited eta
     sequence, bracket updates, and stopping decisions are exactly the
     sequential reference search's.
+
+    ``active=False`` marks a padded slot: its search is skipped outright
+    (done at trip 0).  Under vmap the while_loop runs in lockstep to the
+    slowest slot, and cold inactive slots measured MORE trips (11) than
+    warm active ones (4-7) at stm300 — without this, padding dictated the
+    whole search's trip count.  The reference has no padded slots, so
+    skipping them cannot change any reference-visible trajectory.
     """
+    done0 = jnp.asarray(False) if active is None else jnp.logical_not(active)
 
     def cond(carry):
         _, _, _, done, it = carry
@@ -253,7 +366,7 @@ def _bracketing_search(kl_fn, kl_bound, lower0, upper0):
 
     lower, upper, upper_ok, _, _ = jax.lax.while_loop(
         cond, body,
-        (lower0, upper0, jnp.asarray(False), jnp.asarray(False),
+        (lower0, upper0, jnp.asarray(False), done0,
          jnp.asarray(0, jnp.int32)),
     )
     # if the search didn't converge but the upper bound satisfies the
@@ -262,7 +375,8 @@ def _bracketing_search(kl_fn, kl_bound, lower0, upper0):
     return jnp.exp(lower), jnp.exp(upper)
 
 
-def _bracketing_search_batched(kl_eval, kl_bound, lower0, upper0):
+def _bracketing_search_batched(kl_eval, kl_bound, lower0, upper0,
+                               active=None):
     """Array form of :func:`_bracketing_search`: all carries are [K] vectors
     and ``kl_eval`` maps etas [K] -> KLs [K] in one call (the Pallas batched
     KL kernel).  Semantically identical to vmapping the scalar search — the
@@ -309,9 +423,11 @@ def _bracketing_search_batched(kl_eval, kl_bound, lower0, upper0):
         return lower, upper, upper_ok, done, it
 
     k = lower0.shape[0]
+    done0 = (jnp.zeros((k,), bool) if active is None
+             else jnp.logical_not(active))
     lower, upper, upper_ok, _, _ = jax.lax.while_loop(
         cond, body,
-        (lower0, upper0, jnp.zeros((k,), bool), jnp.zeros((k,), bool),
+        (lower0, upper0, jnp.zeros((k,), bool), done0,
          jnp.zeros((k,), jnp.int32)),
     )
     lower = jnp.where(upper_ok, upper, lower)
@@ -377,25 +493,22 @@ def _trust_region_update_pallas(model, meta, hessians_neg, grads_neg,
     upper0 = jnp.where(no_warm, 80.0, log_last + 3.0)
 
     exp_lower, exp_upper = _bracketing_search_batched(
-        kl_eval, stepsizes, lower0, upper0)
+        kl_eval, stepsizes, lower0, upper0, active=model.mask)
     eta = jnp.maximum(exp_lower, temperature)  # (reference line 476)
     success = exp_lower == exp_upper
 
-    kl, new_means, inv_chol_p = jax.vmap(_tr_kl_full)(
+    kl, new_means, new_chols, new_inv_chols = jax.vmap(_tr_final_full)(
         eta, old_lin, old_prec, inv_chols, reward_lin, reward_quad,
         kl_const, means)
-    new_cov = jnp.einsum("kji,kjl->kil", inv_chol_p, inv_chol_p,
-                         precision=_PREC)
-    new_chols = jnp.linalg.cholesky(new_cov)
-    chol_ok = jnp.logical_not(jnp.any(jnp.isnan(new_chols), axis=(-2, -1)))
-    success = success & (kl < F32_MAX) & chol_ok
+    success = success & (kl < F32_MAX)
 
     sel = success & model.mask
     new_means = jnp.where(sel[:, None], new_means, means)
     new_chols = jnp.where(sel[:, None, None], new_chols, chols)
+    new_inv_chols = jnp.where(sel[:, None, None], new_inv_chols, inv_chols)
     etas = jnp.where(success, eta, -1.0)
     return _finish_update(model, meta, new_means, new_chols, success,
-                          etas=etas)
+                          etas=etas, new_inv_chols=new_inv_chols)
 
 
 def _tr_grid_search(kl_fn, kl_bound, lower0, upper0, grid_size):
@@ -470,7 +583,8 @@ def _tr_kl_eigen(eta, lam, c, b):
 
 
 def _tr_update_one(old_mean, old_chol, old_inv_chol, last_eta, eps, hneg, gneg,
-                   temperature, diagonal, search="bracket", grid_size=32):
+                   active, temperature, diagonal, search="bracket",
+                   grid_size=32):
     """Trust-region update for one component
     (reference: ng_based_component_updater.py:439-511).
 
@@ -494,7 +608,7 @@ def _tr_update_one(old_mean, old_chol, old_inv_chol, last_eta, eps, hneg, gneg,
         old_prec = jnp.einsum("ji,jl->il", old_inv_chol, old_inv_chol,
                               precision=_PREC)
         old_lin = jnp.einsum("ij,j->i", old_prec, old_mean, precision=_PREC)
-        kl_core = _tr_kl_full
+        kl_core = _tr_kl_full_trip
     kl_const = old_logdet - d
 
     kl_fn = partial(
@@ -520,7 +634,8 @@ def _tr_update_one(old_mean, old_chol, old_inv_chol, last_eta, eps, hneg, gneg,
             old_mean, old_chol, reward_lin, reward_quad
         )
         exp_lower, exp_upper = _bracketing_search(
-            lambda e: (_tr_kl_eigen(e, lam, cvec, bvec),), eps, lower0, upper0
+            lambda e: (_tr_kl_eigen(e, lam, cvec, bvec),), eps, lower0,
+            upper0, active=active
         )
         eta = jnp.maximum(exp_lower, temperature)  # (reference line 476)
         success = exp_lower == exp_upper
@@ -543,8 +658,12 @@ def _tr_update_one(old_mean, old_chol, old_inv_chol, last_eta, eps, hneg, gneg,
 
         new_mean = jnp.where(success, new_mean, old_mean)
         new_chol = jnp.where(success, new_chol, old_chol)
+        new_inv_chol = jax.scipy.linalg.solve_triangular(
+            jnp.where(success, new_chol, jnp.eye(d, dtype=new_chol.dtype)),
+            jnp.eye(d, dtype=new_chol.dtype), lower=True)
+        new_inv_chol = jnp.where(success, new_inv_chol, old_inv_chol)
         eta_out = jnp.where(success, eta, -1.0)
-        return new_mean, new_chol, success, eta_out
+        return new_mean, new_chol, new_inv_chol, success, eta_out
 
     if search == "grid":
         eta0, success = _tr_grid_search(
@@ -553,26 +672,31 @@ def _tr_update_one(old_mean, old_chol, old_inv_chol, last_eta, eps, hneg, gneg,
         eta = jnp.maximum(eta0, temperature)
     else:
         exp_lower, exp_upper = _bracketing_search(
-            lambda e: kl_fn(e), eps, lower0, upper0
+            lambda e: kl_fn(e), eps, lower0, upper0, active=active
         )
         eta = jnp.maximum(exp_lower, temperature)  # (reference line 476)
         success = exp_lower == exp_upper
 
-    kl, new_mean, inv_chol_p = kl_fn(eta)
     if diagonal:
-        new_cov = jnp.square(inv_chol_p)
-        new_chol = jnp.sqrt(new_cov)
+        kl, new_mean, inv_chol_p = kl_fn(eta)
+        new_chol = jnp.sqrt(jnp.square(inv_chol_p))
+        new_inv_chol = 1.0 / new_chol
         chol_ok = jnp.logical_not(jnp.any(jnp.isnan(new_chol)))
+        success = success & (kl < F32_MAX) & chol_ok
+        new_inv_chol = jnp.where(success, new_inv_chol, old_inv_chol)
     else:
-        new_cov = jnp.einsum("ji,jl->il", inv_chol_p, inv_chol_p, precision=_PREC)
-        new_chol = jnp.linalg.cholesky(new_cov)
-        chol_ok = jnp.logical_not(jnp.any(jnp.isnan(new_chol)))
-    success = success & (kl < F32_MAX) & chol_ok
+        kl, new_mean, new_chol, new_inv_chol = _tr_final_full(
+            eta, old_lin=old_lin, old_prec=old_prec,
+            old_inv_chol=old_inv_chol, reward_lin=reward_lin,
+            reward_quad=reward_quad, kl_const=kl_const, old_mean=old_mean,
+        )
+        success = success & (kl < F32_MAX)
+        new_inv_chol = jnp.where(success, new_inv_chol, old_inv_chol)
 
     new_mean = jnp.where(success, new_mean, old_mean)
     new_chol = jnp.where(success, new_chol, old_chol)
     eta_out = jnp.where(success, eta, -1.0)
-    return new_mean, new_chol, success, eta_out
+    return new_mean, new_chol, new_inv_chol, success, eta_out
 
 
 def trust_region_update(
@@ -607,18 +731,22 @@ def trust_region_update(
         partial(_tr_update_one, temperature=temperature,
                 diagonal=model.diagonal, search=search, grid_size=grid_size)
     )
-    new_means, new_chols, successes, etas = upd(
+    new_means, new_chols, new_inv_chols, successes, etas = upd(
         model.means, model.chols, model.inv_chols, meta.last_etas, stepsizes,
-        hessians_neg, grads_neg,
+        hessians_neg, grads_neg, model.mask,
     )
     sel = successes & model.mask
+    new_means = jnp.where(sel[:, None], new_means, model.means)
     if model.diagonal:
-        new_means = jnp.where(sel[:, None], new_means, model.means)
         new_chols = jnp.where(sel[:, None], new_chols, model.chols)
+        new_inv_chols = jnp.where(sel[:, None], new_inv_chols,
+                                  model.inv_chols)
     else:
-        new_means = jnp.where(sel[:, None], new_means, model.means)
         new_chols = jnp.where(sel[:, None, None], new_chols, model.chols)
-    return _finish_update(model, meta, new_means, new_chols, successes, etas=etas)
+        new_inv_chols = jnp.where(sel[:, None, None], new_inv_chols,
+                                  model.inv_chols)
+    return _finish_update(model, meta, new_means, new_chols, successes,
+                          etas=etas, new_inv_chols=new_inv_chols)
 
 
 UPDATERS = {
