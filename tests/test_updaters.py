@@ -236,3 +236,38 @@ def test_bracket_eigen_matches_cholesky_search():
                                np.asarray(out2[0].chols), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(out1[1].last_etas),
                                np.asarray(out2[1].last_etas), rtol=1e-3)
+
+
+def test_chol_pair_from_prec_identity():
+    """The exchange-identity factorization returns exactly the lower
+    Cholesky of inv(P) and its exact triangular inverse."""
+    from gmmvi_tpu.optimization.component_updaters import _chol_pair_from_prec
+
+    rng = np.random.RandomState(3)
+    k, d = 5, 17
+    a = rng.randn(k, d, d).astype(np.float32)
+    prec = np.einsum("kij,klj->kil", a, a) + d * np.eye(d, dtype=np.float32)
+
+    chol, inv_chol = _chol_pair_from_prec(jnp.asarray(prec))
+    chol, inv_chol = np.asarray(chol), np.asarray(inv_chol)
+
+    # lower triangular with positive diagonal
+    for m in (chol, inv_chol):
+        assert np.allclose(m, np.tril(m))
+        assert (np.diagonal(m, axis1=-2, axis2=-1) > 0).all()
+
+    # chol @ chol^T == inv(prec), matching np.linalg.cholesky of the inverse
+    ref = np.linalg.cholesky(np.linalg.inv(prec.astype(np.float64)))
+    np.testing.assert_allclose(chol, ref, rtol=2e-3, atol=1e-6)
+    # the returned inverse really is the factor's inverse
+    eye = np.einsum("kij,kjl->kil", chol, inv_chol)
+    np.testing.assert_allclose(eye, np.broadcast_to(np.eye(d), eye.shape),
+                               atol=5e-5)
+
+    # non-SPD input -> NaNs in both outputs (the rejection signal)
+    bad = prec.copy()
+    bad[0] -= 3 * d * np.eye(d, dtype=np.float32)
+    cb, ib = _chol_pair_from_prec(jnp.asarray(bad))
+    assert np.isnan(np.asarray(cb)[0]).any()
+    assert np.isnan(np.asarray(ib)[0]).any()
+    assert not np.isnan(np.asarray(cb)[1:]).any()
