@@ -5,6 +5,11 @@ Usage: python scripts/ablate_workload.py [CODENAME] [EXPERIMENT] [ITERS]
 Same cumulative-prefix methodology as ablate_step.py (scan-batched so tunnel
 dispatch latency cancels; live accumulators defeat DCE) but built from the
 YAML config path, so any workload can be attributed.
+
+Known limit: very large programs (e.g. adaptive SAMTRON at D=300 with a
+100k-sample DB) can exceed the axon remote-compile request size (HTTP 413);
+use a smaller max_database_size override or time sub-phases directly in
+that regime.
 """
 from __future__ import annotations
 
