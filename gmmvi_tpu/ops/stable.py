@@ -62,7 +62,11 @@ def signed_weighted_logsumexp(log_w, values, axis=0, mask=None):
     signs = jnp.sign(values)
     total = jnp.sum(jnp.where(valid, signs * jnp.exp(combined - cmax_safe), 0.0),
                     axis=axis, keepdims=True)
-    out = total * jnp.exp(cmax_safe)
+    # re-apply the shift in log space (sign * exp(log|total| + cmax)), like
+    # the reference's sign * exp(lswe): the linear form total * exp(cmax)
+    # would overflow to inf whenever exp(cmax) alone exceeds float range,
+    # even though the product is representable
+    out = jnp.sign(total) * jnp.exp(jnp.log(jnp.abs(total)) + cmax_safe)
     return jnp.squeeze(out, axis=axis)
 
 

@@ -172,6 +172,7 @@ def iblr_update(
         sel = success & model.mask
         new_mean = jnp.where(sel[:, None], new_mean, model.means)
         new_chol = jnp.where(sel[:, None], new_chol, model.chols)
+        new_inv_chol = None
     else:
         cov = jnp.einsum("kij,klj->kil", model.chols, model.chols, precision=_PREC)
         hc = jnp.einsum("kij,kjl->kil", hessians_neg, cov, precision=_PREC)
@@ -190,9 +191,8 @@ def iblr_update(
         new_chol = jnp.where(sel[:, None, None], new_chol, model.chols)
         new_inv_chol = jnp.where(sel[:, None, None], new_inv_chol,
                                  model.inv_chols)
-        return _finish_update(model, meta, new_mean, new_chol, success,
-                              new_inv_chols=new_inv_chol)
-    return _finish_update(model, meta, new_mean, new_chol, success)
+    return _finish_update(model, meta, new_mean, new_chol, success,
+                          new_inv_chols=new_inv_chol)
 
 
 # ---------------------------------------------------------------------------
@@ -657,10 +657,12 @@ def _tr_update_one(old_mean, old_chol, old_inv_chol, last_eta, eps, hneg, gneg,
         success = success & (kl < F32_MAX) & chol_ok
 
         new_mean = jnp.where(success, new_mean, old_mean)
+        # post-selection new_chol is always finite (old_chol on failure), so
+        # invert it directly; the final where keeps the cached old_inv_chol
+        # bit-exact on failure instead of a re-inverted copy
         new_chol = jnp.where(success, new_chol, old_chol)
         new_inv_chol = jax.scipy.linalg.solve_triangular(
-            jnp.where(success, new_chol, jnp.eye(d, dtype=new_chol.dtype)),
-            jnp.eye(d, dtype=new_chol.dtype), lower=True)
+            new_chol, jnp.eye(d, dtype=new_chol.dtype), lower=True)
         new_inv_chol = jnp.where(success, new_inv_chol, old_inv_chol)
         eta_out = jnp.where(success, eta, -1.0)
         return new_mean, new_chol, new_inv_chol, success, eta_out

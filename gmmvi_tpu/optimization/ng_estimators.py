@@ -22,7 +22,8 @@ import jax.numpy as jnp
 
 from gmmvi_tpu.models.gmm import GmmState, density_pack
 from gmmvi_tpu.ops.quadratic import fit_quadratic
-from gmmvi_tpu.ops.stable import masked_logsumexp, NEG_INF
+from gmmvi_tpu.ops.stable import (masked_logsumexp, signed_weighted_logsumexp,
+                                  NEG_INF)
 
 _PREC = jax.lax.Precision.HIGHEST
 
@@ -30,6 +31,40 @@ _PREC = jax.lax.Precision.HIGHEST
 class NgEstimate(NamedTuple):
     expected_hessians_neg: jnp.ndarray   # [Kmax, D, D] (or [Kmax, D] diagonal)
     expected_gradients_neg: jnp.ndarray  # [Kmax, D]
+
+
+def _stein_standard_iw(model, log_iw, mask, log_ratio_grads, ptd):
+    """Standard-IW Stein moments with the reference's exact stable-expectation
+    semantics (ng_estimator.py:146-169): per output element, a signed
+    ``reduce_weighted_logsumexp`` of ``log_iw + log|value|`` over the sample
+    axis, divided by the per-component sample count.  Raw ``exp(log_iw)``
+    would overflow float32 at ``log_iw > ~88`` (early training: peaked
+    component vs broad background) where this survives.
+
+    Off-default path (every bundled config sets self-normalized IW), so a
+    sequential ``lax.map`` over components bounds the ``[N, D, D]``
+    log-magnitude intermediates exactly like the reference's per-component
+    loop."""
+    n = jnp.maximum(jnp.sum(mask.astype(jnp.float32), axis=1), 1.0)  # [Kmax]
+
+    def one(args):
+        log_iw_k, mask_k, ptd_k, n_k = args
+        lw = jnp.where(mask_k, log_iw_k, NEG_INF)
+        grad_k = signed_weighted_logsumexp(
+            lw[:, None], log_ratio_grads, axis=0) / n_k
+        if model.diagonal:
+            vals = log_ratio_grads * ptd_k                        # [N, D]
+            hess_k = signed_weighted_logsumexp(
+                lw[:, None], vals, axis=0) / n_k
+        else:
+            # vals[n, d, e] = g[n, d] * ptd[n, e] — reference index order
+            # (ng_estimator.py:165-166)
+            vals = log_ratio_grads[:, :, None] * ptd_k[:, None, :]
+            hess_k = signed_weighted_logsumexp(
+                lw[:, None, None], vals, axis=0) / n_k
+        return hess_k, grad_k
+
+    return jax.lax.map(one, (log_iw, mask, ptd, n))
 
 
 def _per_component_log_iw(
@@ -96,21 +131,31 @@ def stein_estimate(
         pack.component_log_densities, background, sample_mask, own_mask
     )
 
-    if use_self_normalized_importance_weights:
-        # (reference: ng_estimator.py:171-188, incl. the double normalization)
-        log_w = log_iw - masked_logsumexp(log_iw, mask=mask, axis=1, keepdims=True)
-        w = jnp.where(mask, jnp.exp(log_w), 0.0)
-        w = w / jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1e-38)
-    else:
-        # standard IW with the signed-logsumexp trick
-        # (reference: ng_estimator.py:146-169).  1/n uses the count of
-        # samples each component sees (= the full valid window normally; the
-        # component's own-sample count under only_use_own_samples, since the
-        # reference passes only those to _stable_expectation).
-        n = jnp.maximum(
-            jnp.sum(mask.astype(jnp.float32), axis=1, keepdims=True), 1.0
-        )
-        w = jnp.where(mask, jnp.exp(log_iw), 0.0) / n
+    if not use_self_normalized_importance_weights:
+        # standard IW with the reference's signed-logsumexp stable expectation
+        # (ng_estimator.py:146-169).  1/n uses the count of samples each
+        # component sees (= the full valid window normally; the component's
+        # own-sample count under only_use_own_samples, since the reference
+        # passes only those to _stable_expectation).
+        if ptd is None:
+            # fused-kernel packs carry no [Kmax, N, D] prec_times_diff;
+            # recompute it (off-default path, memory bounded by the lax.map)
+            diffs = samples[None, :, :] - model.means[:, None, :]
+            if model.diagonal:
+                ptd = jnp.square(model.inv_chols)[:, None, :] * diffs
+            else:
+                lam = jnp.einsum("kji,kjl->kil", model.inv_chols,
+                                 model.inv_chols, precision=_PREC)
+                ptd = jnp.einsum("kde,kne->knd", lam, diffs, precision=_PREC)
+        hess, grad = _stein_standard_iw(model, log_iw, mask,
+                                        log_ratio_grads, ptd)
+        return NgEstimate(-hess, -grad)
+
+    # self-normalized IW
+    # (reference: ng_estimator.py:171-188, incl. the double normalization)
+    log_w = log_iw - masked_logsumexp(log_iw, mask=mask, axis=1, keepdims=True)
+    w = jnp.where(mask, jnp.exp(log_w), 0.0)
+    w = w / jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1e-38)
 
     grad = jnp.einsum("kn,nd->kd", w, log_ratio_grads, precision=_PREC)
     if model.diagonal:
@@ -135,17 +180,15 @@ def stein_estimate(
                            samples - shift[None, :], precision=_PREC)
         hess = jnp.einsum("kdf,kfe->kde", s_mom, lam, precision=_PREC) \
             - grad[:, :, None] * lam_mu[:, None, :]
-        if use_self_normalized_importance_weights:
-            hess = 0.5 * (hess + jnp.swapaxes(hess, -1, -2))
+        # symmetrization only in the SN path (ng_estimator.py:186)
+        hess = 0.5 * (hess + jnp.swapaxes(hess, -1, -2))
     else:
         # H[d, e] = E[g_d * ptd_e] — matches reference index order
         # (ng_estimator.py:165-166: grads expand to [N,D,1], ptd to [N,1,D])
         hess = jnp.einsum(
             "kn,nd,kne->kde", w, log_ratio_grads, ptd, precision=_PREC
         )
-        if use_self_normalized_importance_weights:
-            # symmetrization only in the SN path (ng_estimator.py:186)
-            hess = 0.5 * (hess + jnp.swapaxes(hess, -1, -2))
+        hess = 0.5 * (hess + jnp.swapaxes(hess, -1, -2))
     return NgEstimate(-hess, -grad)
 
 
@@ -193,6 +236,9 @@ def more_estimate(
         w = jnp.where(mask, jnp.exp(log_w), 0.0)
         w = w / jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1e-38)
     else:
+        # deliberately raw exp: the reference's MORE path also feeds raw
+        # exp(log_iw) into the regression (ng_estimator.py:361) — unlike its
+        # Stein path, no stable-expectation trick is applied there
         w = jnp.where(mask, jnp.exp(log_iw), 0.0)
 
     def fit_one(args):

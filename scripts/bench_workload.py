@@ -9,12 +9,13 @@ cancels), and reports ms/iter.
 """
 from __future__ import annotations
 
+import os
 import sys
 import time
 
 import jax
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from gmmvi_tpu.configs import get_default_config
 from gmmvi_tpu.experiments.setup import init_experiment

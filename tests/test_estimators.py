@@ -137,6 +137,57 @@ def test_stein_masked_samples_are_ignored():
     )
 
 
+def test_stein_standard_iw_extreme_log_ratios_stay_finite():
+    """Standard-IW moments at log_iw ~ 150 (early training: peaked component
+    vs broad background).  Raw ``exp(log_iw)`` overflows float32 at ~88; the
+    reference survives through the signed reduce_weighted_logsumexp trick
+    (ng_estimator.py:146-152).  The estimator must match a float64 oracle of
+    exactly that expectation."""
+    rng = np.random.RandomState(7)
+    d, n = 3, 64
+    # two symmetric components: at x ~ 0 the mixture gradient cancels
+    # EXACTLY, so the log-ratio grads can be made tiny (representable) while
+    # the whitened diffs ptd stay O(1)
+    mus = np.stack([np.full(d, 0.7), np.full(d, -0.7)]).astype(np.float32)
+    covs = np.tile(np.eye(d, dtype=np.float32)[None], (2, 1, 1))
+    state = G.create_gmm_state(
+        np.array([0.5, 0.5], np.float32), mus, covs, max_components=2)
+
+    # log-ratio grads ~ 1e-24: exp(log_iw) * g is f32-representable even
+    # though exp(log_iw) alone is not — exactly the intermediate-overflow
+    # regime the reference's signed-LSE trick survives
+    samples = (rng.randn(n, d) * 1e-25).astype(np.float32)
+    tgrads = (rng.randn(n, d) * 1e-24).astype(np.float32)
+    lnpdfs = rng.randn(n).astype(np.float32)
+
+    comp_ld = np.asarray(G.component_log_densities(state, jnp.asarray(samples)))
+    log_iw = 140.0  # >> 88, the f32 exp-overflow threshold
+    bg = jnp.asarray(comp_ld[0] - log_iw, jnp.float32)
+
+    est = stein_estimate(
+        state, jnp.asarray(samples), jnp.ones(n, bool),
+        jnp.zeros(n, jnp.int32), bg, jnp.asarray(lnpdfs),
+        jnp.asarray(tgrads),
+        use_self_normalized_importance_weights=False,
+    )
+    got_g = np.asarray(est.expected_gradients_neg[0])
+    got_h = np.asarray(est.expected_hessians_neg[0])
+    assert np.all(np.isfinite(got_g)), got_g
+    assert np.all(np.isfinite(got_h)), got_h
+    assert np.max(np.abs(got_g)) > 1e30  # genuinely in the overflow regime
+
+    # float64 oracle of the reference's stable expectation semantics
+    pack = G.density_pack(state, jnp.asarray(samples))
+    w64 = np.exp((comp_ld[0] - np.asarray(bg)).astype(np.float64)) / n
+    lr_grads = (tgrads - np.asarray(pack.model_grads)).astype(np.float64)
+    ptd = np.asarray(pack.prec_times_diff[0]).astype(np.float64)
+    want_gneg = -(w64[:, None] * lr_grads).sum(0)
+    want_hneg = -np.einsum("n,nd,ne->de", w64, lr_grads, ptd)
+    np.testing.assert_allclose(got_g, want_gneg, rtol=1e-4)
+    np.testing.assert_allclose(
+        got_h, want_hneg, rtol=1e-3, atol=1e-4 * np.abs(want_hneg).max())
+
+
 def test_more_estimator_quadratic_target_exact():
     """On an exactly quadratic target log p(x) = -0.5 x^T P x + x^T b, the
     MORE surrogate is exact: Hneg -> P - Sigma^{-1}-ish ratio fit.
