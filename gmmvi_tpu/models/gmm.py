@@ -38,26 +38,67 @@ from gmmvi_tpu.ops.stable import masked_logsumexp, NEG_INF
 
 LOG_2PI = math.log(2.0 * math.pi)
 
-# True while GMMVI traces a step with a data-parallel mesh configured: the
+# True while GMMVI traces a step with a data-parallel mesh configured.  The
 # fused Pallas kernels are opaque custom calls to XLA's SPMD partitioner, so
-# under a mesh they would force an all-gather of the sharded operands onto
-# every device.  Until the kernels are wrapped in shard_map (per-sample
-# outputs make that straightforward), SPMD traces use the partitionable XLA
+# under a mesh they are wrapped in shard_map over the mesh's data axis
+# (replicated model params, sample-sharded batch; see shard_map_data) —
+# SPMD_MESH carries the mesh to the kernel call sites.  When the batch is
+# not evenly shardable the SPMD trace falls back to the partitionable XLA
 # path.  Scoped via spmd_scope (not set-once) so meshed and unmeshed GMMVI
 # instances in the same process each trace with the right kernel gating.
 SPMD_ACTIVE = False
+SPMD_MESH = None
 
 
 @contextlib.contextmanager
-def spmd_scope(active: bool):
-    """Scope the SPMD kernel gate for the duration of a trace."""
-    global SPMD_ACTIVE
-    prev = SPMD_ACTIVE
-    SPMD_ACTIVE = bool(active)
+def spmd_scope(mesh):
+    """Scope the SPMD kernel gate (and mesh) for the duration of a trace.
+
+    ``mesh`` is the :class:`jax.sharding.Mesh` of the step being traced, or
+    None for unmeshed traces."""
+    global SPMD_ACTIVE, SPMD_MESH
+    prev, prev_mesh = SPMD_ACTIVE, SPMD_MESH
+    SPMD_ACTIVE = mesh is not None
+    SPMD_MESH = mesh
     try:
         yield
     finally:
         SPMD_ACTIVE = prev
+        SPMD_MESH = prev_mesh
+
+
+def spmd_data_mesh(n: int):
+    """The scoped SPMD mesh if the fused kernels can run shard-mapped over
+    its ``data`` axis for a batch of ``n`` samples (even shardability), else
+    None.  Unmeshed traces also return None — kernels then run unwrapped."""
+    if not SPMD_ACTIVE or SPMD_MESH is None:
+        return None
+    if "data" not in SPMD_MESH.axis_names:
+        return None
+    if n % SPMD_MESH.shape["data"] != 0:
+        return None
+    return SPMD_MESH
+
+
+def shard_map_data(fn, mesh, n_sharded_inputs: int, out_specs):
+    """shard_map ``fn`` over the mesh's ``data`` axis: the LAST
+    ``n_sharded_inputs`` positional argument(s) shard their leading axis over
+    ``data``; everything before is replicated (model / distribution
+    parameters).  Axes the specs don't mention (e.g. ``comp`` on hybrid
+    meshes) stay replicated — the kernels compute identically along them.
+    """
+    from jax import shard_map
+
+    P = jax.sharding.PartitionSpec
+
+    def wrapped(*args):
+        n_rep = len(args) - n_sharded_inputs
+        in_specs = tuple(P() for _ in range(n_rep)) + tuple(
+            P("data") for _ in range(n_sharded_inputs))
+        return shard_map(fn, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_vma=False)(*args)
+
+    return wrapped
 
 # Mahalanobis / density einsums need f32-true accumulation on the MXU.
 _PREC = jax.lax.Precision.HIGHEST
@@ -224,6 +265,35 @@ def component_log_densities(
         state, whitened_diffs(state, samples, shard_fn=shard_fn))
 
 
+def _fused_density_dispatch(state: GmmState, samples: jnp.ndarray, mode: str,
+                            want: str):
+    """Invoke the fused density kernels, shard_map-wrapped over the scoped
+    SPMD mesh's data axis when one is active (model parameters replicated,
+    samples / per-sample outputs sharded — the kernels are per-sample maps,
+    so no collectives are introduced).  ``want``: 'pack' | 'densities'."""
+    import functools as _ft
+
+    from gmmvi_tpu.ops import pallas_density as _pd
+
+    P = jax.sharding.PartitionSpec
+    logdets = jnp.sum(
+        jnp.log(jnp.abs(jnp.diagonal(state.chols, axis1=-2, axis2=-1))),
+        axis=-1,
+    )
+    logw = jnp.where(state.mask, state.log_weights, NEG_INF)
+    interpret = mode == "interpret"
+    if want == "pack":
+        fn = _ft.partial(_pd.fused_density_pack, interpret=interpret)
+        out_specs = (P(None, "data"), P("data"), P("data"))
+    else:
+        fn = _ft.partial(_pd.fused_component_densities, interpret=interpret)
+        out_specs = (P(None, "data"), P("data"))
+    mesh = spmd_data_mesh(samples.shape[0])
+    if mesh is not None:
+        fn = shard_map_data(fn, mesh, 1, out_specs)
+    return fn(state.means, state.inv_chols, logw, logdets, samples)
+
+
 def component_log_densities_fast(
     state: GmmState, samples: jnp.ndarray, shard_fn=None
 ) -> jnp.ndarray:
@@ -232,17 +302,7 @@ def component_log_densities_fast(
     intermediates).  Values match the XLA path up to float rounding."""
     mode = _fused_density_mode(state, samples.shape[0])
     if mode != "off":
-        from gmmvi_tpu.ops.pallas_density import fused_component_densities
-
-        logdets = jnp.sum(
-            jnp.log(jnp.abs(jnp.diagonal(state.chols, axis1=-2, axis2=-1))),
-            axis=-1,
-        )
-        comp, _ = fused_component_densities(
-            state.means, state.inv_chols,
-            jnp.where(state.mask, state.log_weights, NEG_INF), logdets,
-            samples, interpret=(mode == "interpret"),
-        )
+        comp, _ = _fused_density_dispatch(state, samples, mode, "densities")
         return comp
     return component_log_densities(state, samples, shard_fn=shard_fn)
 
@@ -263,17 +323,8 @@ def log_densities_also_individual(
     sample axis (see :func:`density_pack`)."""
     mode = _fused_density_mode(state, samples.shape[0])
     if mode != "off":
-        from gmmvi_tpu.ops.pallas_density import fused_component_densities
-
-        logdets = jnp.sum(
-            jnp.log(jnp.abs(jnp.diagonal(state.chols, axis1=-2, axis2=-1))),
-            axis=-1,
-        )
-        comp, model = fused_component_densities(
-            state.means, state.inv_chols,
-            jnp.where(state.mask, state.log_weights, NEG_INF), logdets,
-            samples, interpret=(mode == "interpret"),
-        )
+        comp, model = _fused_density_dispatch(state, samples, mode,
+                                              "densities")
         return model, comp
     comp = component_log_densities(state, samples, shard_fn=shard_fn)
     model = masked_logsumexp(
@@ -315,7 +366,11 @@ def _fused_density_mode(state: GmmState, n: int) -> str:
     if state.diagonal or not pallas_density.supports(
             state.num_dimensions, state.max_components):
         return "off"
-    if SPMD_ACTIVE and mode not in ("1", "interpret"):
+    if SPMD_ACTIVE and spmd_data_mesh(n) is None \
+            and mode not in ("1", "interpret"):
+        # meshed trace but the batch is not evenly shardable: the kernel
+        # cannot be shard_map-wrapped, and unwrapped it is an opaque custom
+        # call that would force all-gathers — fall back to the XLA path
         return "off"
     if mode == "interpret":
         return "interpret"
@@ -353,17 +408,8 @@ def density_pack(
     """
     mode = _fused_density_mode(state, samples.shape[0])
     if mode != "off":
-        from gmmvi_tpu.ops.pallas_density import fused_density_pack
-
-        logdets = jnp.sum(
-            jnp.log(jnp.abs(jnp.diagonal(state.chols, axis1=-2, axis2=-1))),
-            axis=-1,
-        )
-        comp, model, grads = fused_density_pack(
-            state.means, state.inv_chols,
-            jnp.where(state.mask, state.log_weights, NEG_INF), logdets,
-            samples, interpret=(mode == "interpret"),
-        )
+        comp, model, grads = _fused_density_dispatch(state, samples, mode,
+                                                     "pack")
         return DensityPack(
             component_log_densities=comp,
             model_log_densities=model,

@@ -447,10 +447,15 @@ def _tr_pallas_mode() -> str:
     if mode == "interpret":
         return "interpret"
     if gmm_module.SPMD_ACTIVE and mode != "1":
-        # opaque custom call: under a mesh XLA would all-gather the
-        # comp-sharded [K, D, D] chains onto every device (same gate as
-        # gmm._fused_density_mode)
-        return "off"
+        mesh = gmm_module.SPMD_MESH
+        if mesh is None or "comp" in mesh.axis_names:
+            # on hybrid meshes the [K, D, D] bisection chains are
+            # comp-sharded by design — wrapping the kernel replicated would
+            # all-gather them every trip, so the comp-sharded XLA path wins
+            return "off"
+        # pure data mesh: all kernel operands are replicated — the kernel
+        # shard_map-wraps with fully-replicated specs (each device runs the
+        # same tiny [K] search, like the XLA path effectively does)
     try:
         on_tpu = jax.default_backend() == "tpu"
     except Exception:  # pragma: no cover
@@ -483,8 +488,29 @@ def _trust_region_update_pallas(model, meta, hessians_neg, grads_neg,
 
     packed = ptr.prepare_tr_kl_inputs(means, chols, inv_chols,
                                       reward_lin, reward_quad)
-    kl_eval = lambda etas: ptr.batched_tr_kl(etas, packed, d=d,
-                                             interpret=interpret)
+
+    from gmmvi_tpu.models import gmm as gmm_module
+
+    mesh = gmm_module.SPMD_MESH if gmm_module.SPMD_ACTIVE else None
+    if mesh is not None:
+        # pure data mesh (hybrid meshes are gated off in _tr_pallas_mode):
+        # every operand is replicated, so wrap the opaque kernel in a
+        # fully-replicated shard_map — each device runs the same tiny [K]
+        # KL evaluation, no collectives
+        from jax import shard_map
+
+        rep = jax.sharding.PartitionSpec()
+
+        def kl_eval(etas):
+            return shard_map(
+                lambda e, pk: ptr.batched_tr_kl(e, pk, d=d,
+                                                interpret=interpret),
+                mesh=mesh, in_specs=(rep, rep), out_specs=rep,
+                check_vma=False,
+            )(etas, packed)
+    else:
+        kl_eval = lambda etas: ptr.batched_tr_kl(etas, packed, d=d,
+                                                 interpret=interpret)
 
     last = meta.last_etas
     no_warm = last < 0

@@ -176,7 +176,7 @@ class GMMVI:
         from gmmvi_tpu.models import gmm as _gmm_module
 
         def wrapped(*args):
-            with _gmm_module.spmd_scope(self.mesh is not None):
+            with _gmm_module.spmd_scope(self.mesh):
                 return fn(*args)
 
         return wrapped

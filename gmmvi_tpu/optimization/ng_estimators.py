@@ -266,13 +266,37 @@ def more_estimate(
         # one streamed pass builds every component's weighted normal
         # equations (whiten + features + Gram fused in VMEM; no [N, F]
         # design matrices in HBM); solve + unwhiten stay in XLA
+        from gmmvi_tpu.models import gmm as gmm_module
         from gmmvi_tpu.ops.pallas_more import fused_more_grams
         from gmmvi_tpu.ops.quadratic import solve_quadratic_normal_eqs
 
         w_masked = jnp.where(sample_mask[None, :], w, 0.0)
-        gram, rhs = fused_more_grams(
-            model.inv_chols, model.means, w_masked, log_ratios, samples,
-            interpret=(mode == "interpret"))
+        interpret = mode == "interpret"
+        mesh = gmm_module.spmd_data_mesh(samples.shape[0])
+        if mesh is not None:
+            # shard_map over the data axis: each device accumulates the
+            # weighted normal equations of its sample shard in one kernel
+            # pass, then the [K, F, F] / [K, F] partial sums psum across the
+            # mesh — the same (tiny, per-component) collective payload the
+            # XLA estimator path produces
+            from jax import shard_map
+
+            P = jax.sharding.PartitionSpec
+
+            def _local(inv_chols, means, w_m, y, x):
+                g, r = fused_more_grams(inv_chols, means, w_m, y, x,
+                                        interpret=interpret)
+                return jax.lax.psum((g, r), "data")
+
+            gram, rhs = shard_map(
+                _local, mesh=mesh,
+                in_specs=(P(), P(), P(None, "data"), P("data"), P("data")),
+                out_specs=(P(), P()), check_vma=False,
+            )(model.inv_chols, model.means, w_masked, log_ratios, samples)
+        else:
+            gram, rhs = fused_more_grams(
+                model.inv_chols, model.means, w_masked, log_ratios, samples,
+                interpret=interpret)
 
         def finish(args):
             gram_k, rhs_k, reg_k, mean_k, inv_chol_k = args
@@ -301,9 +325,9 @@ def more_estimate(
 
 def _fused_more_mode(model: GmmState, n: int) -> str:
     """'pallas' | 'interpret' | 'off' for the fused MORE Gram kernel
-    (GMMVI_FUSED_MORE overrides; same gating policy as the density
-    kernels: off under SPMD — opaque custom call — and off for diagonal
-    models, whose whitening is cheap elementwise anyway)."""
+    (GMMVI_FUSED_MORE overrides; same gating policy as the density kernels:
+    shard_map-wrapped with psum'd partial Grams under SPMD meshes, off for
+    diagonal models, whose whitening is cheap elementwise anyway)."""
     import os
 
     from gmmvi_tpu.models import gmm as gmm_module
@@ -314,7 +338,9 @@ def _fused_more_mode(model: GmmState, n: int) -> str:
         return "off"
     if model.diagonal or not pallas_more.supports(model.num_dimensions, n):
         return "off"
-    if gmm_module.SPMD_ACTIVE and mode not in ("1", "interpret"):
+    if gmm_module.SPMD_ACTIVE and gmm_module.spmd_data_mesh(n) is None \
+            and mode not in ("1", "interpret"):
+        # meshed trace, batch not evenly shardable: no shard_map wrap
         return "off"
     if mode == "interpret":
         return "interpret"

@@ -270,7 +270,10 @@ def _fused_background_mode(db: SampleDbState, n: int, u: int) -> str:
     if db.diagonal or not pallas_density.supports_background(
             db.num_dimensions):
         return "off"
-    if gmm_module.SPMD_ACTIVE and mode not in ("1", "interpret"):
+    if gmm_module.SPMD_ACTIVE and gmm_module.spmd_data_mesh(n) is None \
+            and mode not in ("1", "interpret"):
+        # meshed trace, batch not evenly shardable: no shard_map wrap
+        # possible — use the partitionable XLA chain
         return "off"
     if mode == "interpret":
         return "interpret"
@@ -294,12 +297,20 @@ def _background_logsumexp(db, means_u, inv_u, log_dets_u, log_w, sel_mask,
     it falls back to the XLA chain."""
     mode = _fused_background_mode(db, samples.shape[0], means_u.shape[0])
     if mode != "off":
+        import functools
+
+        from gmmvi_tpu.models import gmm as gmm_module
         from gmmvi_tpu.ops.pallas_density import fused_background_logpdf
 
         lw = jnp.where(sel_mask, log_w, NEG_INF)
-        return fused_background_logpdf(
-            means_u, inv_u, lw, log_dets_u, samples,
-            interpret=(mode == "interpret"))
+        fn = functools.partial(fused_background_logpdf,
+                               interpret=(mode == "interpret"))
+        mesh = gmm_module.spmd_data_mesh(samples.shape[0])
+        if mesh is not None:
+            # per-sample map: dists replicated, samples/output data-sharded
+            fn = gmm_module.shard_map_data(
+                fn, mesh, 1, jax.sharding.PartitionSpec("data"))
+        return fn(means_u, inv_u, lw, log_dets_u, samples)
     log_pdfs = _dist_log_pdfs(db, means_u, inv_u, log_dets_u, samples,
                               shard_fn=shard_fn)
     return masked_logsumexp(

@@ -63,7 +63,10 @@ def main():
     else:
         mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(8), ("data",))
     g = _build_gmmvi(num_dimensions=20, n_des=200, kmax=48, k0=45, mesh=mesh)
-    compiled = jax.jit(g._full_step, donate_argnums=0).lower(g.state).compile()
+    # _spmd_scoped sets the kernel gate/mesh during tracing exactly like
+    # train_iter does — without it the Pallas kernels trace unwrapped
+    compiled = jax.jit(g._spmd_scoped(g._full_step),
+                       donate_argnums=0).lower(g.state).compile()
     hlo = compiled.as_text()
 
     kinds = ("all-reduce", "all-gather", "reduce-scatter",

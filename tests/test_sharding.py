@@ -67,9 +67,9 @@ def test_stein_estimate_sharded_matches_replicated():
     np.testing.assert_allclose(g_sh, g_rep, rtol=1e-4, atol=1e-5)
 
 
-def _build(mesh, seed=3):
+def _build(mesh, seed=3, codename="SAMTRON"):
     target = make_simple_target()
-    cfg = get_default_algorithm_config("SAMTRON")
+    cfg = get_default_algorithm_config(codename)
     cfg = update_config(cfg, {
         "start_seed": seed, "seed": seed,
         "target_fn": target, "environment_name": "test",
@@ -142,6 +142,69 @@ def test_full_training_step_hybrid_mesh_matches_replicated():
     assert int(gmmvi_sh.state.model.num_active) == int(
         gmmvi_rep.state.model.num_active
     )
+
+
+_KERNEL_VARS = ("GMMVI_FUSED_DENSITY", "GMMVI_FUSED_BACKGROUND",
+                "GMMVI_FUSED_MORE", "GMMVI_FUSED_TR")
+
+
+@requires_multidevice
+@pytest.mark.parametrize("codename", ["SAMTRON", "ZAMTRON"])
+def test_full_step_sharded_with_pallas_kernels_active(monkeypatch, codename):
+    """The fused Pallas kernels stay ACTIVE under SPMD meshes: every kernel
+    forced on in interpret mode, full-step trajectory equality between the
+    8-device data mesh and the unsharded run (density pack, background,
+    trust-region KL for SAMTRON; MORE Gram for ZAMTRON)."""
+    for var in _KERNEL_VARS:
+        monkeypatch.setenv(var, "interpret")
+    _, gmmvi_rep = _build(mesh=None, codename=codename)
+    _, gmmvi_sh = _build(mesh=_mesh(), codename=codename)
+    for _ in range(3):
+        gmmvi_rep.train_iter()
+        gmmvi_sh.train_iter()
+    np.testing.assert_allclose(
+        np.asarray(gmmvi_sh.state.model.means),
+        np.asarray(gmmvi_rep.state.model.means),
+        rtol=5e-4, atol=5e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(gmmvi_sh.state.model.log_weights[:3]),
+        np.asarray(gmmvi_rep.state.model.log_weights[:3]),
+        rtol=5e-4, atol=5e-4,
+    )
+    assert int(gmmvi_sh.state.model.num_active) == int(
+        gmmvi_rep.state.model.num_active
+    )
+
+
+@requires_multidevice
+def test_fused_density_shard_map_wrap_matches_unwrapped(monkeypatch):
+    """Direct check of the shard_map wrap: density_pack through the
+    interpret kernel with a scoped SPMD mesh equals the unwrapped kernel
+    and the XLA path; non-divisible batches report no shardable mesh."""
+    monkeypatch.setenv("GMMVI_FUSED_DENSITY", "interpret")
+    rng = np.random.RandomState(11)
+    k, d, n = 3, 4, 640
+    w = np.ones(k, np.float32) / k
+    mu = rng.randn(k, d).astype(np.float32)
+    a = rng.randn(k, d, d).astype(np.float32)
+    covs = np.einsum("kij,klj->kil", a, a) + np.eye(d, dtype=np.float32)
+    state = G.create_gmm_state(w, mu, covs, max_components=k + 1)
+    samples = jnp.asarray(rng.randn(n, d).astype(np.float32))
+
+    plain = G.density_pack(state, samples)
+    mesh = _mesh()
+    with G.spmd_scope(mesh):
+        assert G.spmd_data_mesh(n) is mesh
+        assert G.spmd_data_mesh(n + 1) is None  # not evenly shardable
+        sharded = jax.jit(lambda st, s: G.density_pack(st, s))(state, samples)
+    np.testing.assert_allclose(
+        np.asarray(sharded.model_log_densities),
+        np.asarray(plain.model_log_densities), rtol=2e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(sharded.model_grads), np.asarray(plain.model_grads),
+        rtol=2e-4, atol=1e-4)
+    assert G.spmd_data_mesh(n) is None  # scope restored
 
 
 @requires_multidevice
