@@ -59,7 +59,7 @@ _KNOWN_TPU_KEYS = {
     "decimate_capacity_cap", "max_dists", "max_components",
     "max_reward_history_length", "trust_region_search",
     "trust_region_grid_size", "compact_target_eval",
-    "data_shards", "comp_shards",
+    "data_shards", "comp_shards", "db_layout",
 }
 
 

@@ -679,7 +679,44 @@ class GMMVI:
         if vips_cfg is not None and vips_cfg.num_database_samples > reservoir:
             vips_cfg = vips_cfg._replace(num_database_samples=reservoir)
         keep_samples = bool(config.get("use_sample_database", True))
-        if str(tpu_cfg.get("db_eviction", "ring")) == "decimate":
+        db_layout = str(tpu_cfg.get("db_layout", "global"))
+        db_eviction = str(tpu_cfg.get("db_eviction", "ring"))
+        if db_layout == "sharded":
+            # per-device ring shards: eliminates the batch-sized ring-write
+            # all-gathers of the data-parallel step (see
+            # optimization/sample_db_sharded.py for the semantics)
+            from gmmvi_tpu.optimization import sample_db_sharded as shd
+
+            if mesh is None or "data" not in mesh.axis_names:
+                raise ValueError(
+                    "tpu.db_layout: sharded requires a mesh with a 'data' "
+                    "axis (set tpu.data_shards or pass mesh=)")
+            if db_eviction == "decimate":
+                raise ValueError(
+                    "tpu.db_layout: sharded is incompatible with "
+                    "tpu.db_eviction: decimate (the decimation parity mode "
+                    "is a global store by definition)")
+            n_sh = int(mesh.shape["data"])
+            batch = (kmax * n_des if sel_type == "component-based"
+                     else n_des)
+            if batch % n_sh:
+                raise ValueError(
+                    f"tpu.db_layout: sharded needs the proposal batch "
+                    f"({batch} = Kmax*n_des) divisible by the data-axis "
+                    f"size ({n_sh}); adjust desired_samples_per_component "
+                    f"or tpu.max_components")
+            db = shd.create_sharded_db(
+                dim=d,
+                max_components=kmax,
+                capacity=w_total,
+                dist_ring_iters=int(tpu_cfg.get("dist_ring_iters",
+                                                default_ring)),
+                reservoir_capacity=reservoir,
+                n_shards=n_sh,
+                diagonal=model.diagonal,
+                keep_samples=keep_samples,
+            )
+        elif db_eviction == "decimate":
             # parity mode: reproduce the reference's decimation-on-overflow
             # long-horizon reuse semantics (reference: sample_db.py:63-79)
             from gmmvi_tpu.optimization import sample_db_decimate as dec_ops
@@ -746,6 +783,14 @@ class GMMVI:
         est_cfg.setdefault("use_self_normalized_importance_weights", True)
         est_cfg.pop("initial_l2_regularizer", None)
 
+        compact = str(tpu_cfg.get("compact_target_eval", "auto"))
+        if db_layout == "sharded" and compact == "auto":
+            # the bucketed eval's global argsort-compaction scatter would
+            # all-gather the batch — the very traffic the sharded DB layout
+            # exists to remove.  Explicit "on" still wins if the target is
+            # expensive enough to be worth the gathers.
+            compact = "off"
+
         return GMMVI(
             target_distribution=target_distribution,
             initial_state=state,
@@ -768,6 +813,5 @@ class GMMVI:
                                                 "bracket")),
             trust_region_grid_size=int(tpu_cfg.get("trust_region_grid_size",
                                                    32)),
-            compact_target_eval=str(tpu_cfg.get("compact_target_eval",
-                                                "auto")),
+            compact_target_eval=compact,
         )

@@ -132,6 +132,7 @@ def add_samples(
     target_lnpdfs: jnp.ndarray,  # [B]
     target_grads: jnp.ndarray,  # [B, D]
     key: jnp.ndarray,
+    shard_fn=None,
 ) -> SampleDbState:
     """Append the valid subset of a statically-shaped batch.
 
@@ -140,9 +141,15 @@ def add_samples(
     of the valid entries is a prefix-sum scatter; invalid entries scatter
     out of bounds (dropped).
     """
-    if not isinstance(db, SampleDbState):  # decimation-compatible parity mode
+    if not isinstance(db, SampleDbState):
         from gmmvi_tpu.optimization import sample_db_decimate as dec
+        from gmmvi_tpu.optimization import sample_db_sharded as shd
 
+        if isinstance(db, shd.ShardedSampleDbState):
+            return shd.add_samples(db, iteration, model, samples, valid,
+                                   mapping, target_lnpdfs, target_grads, key,
+                                   shard_fn=shard_fn)
+        # decimation-compatible parity mode
         return dec.add_samples(db, iteration, model, samples, valid, mapping,
                                target_lnpdfs, target_grads, key)
     s = db.capacity
@@ -384,7 +391,12 @@ def get_newest_samples(
     """
     if not isinstance(db, SampleDbState):
         from gmmvi_tpu.optimization import sample_db_decimate as dec
+        from gmmvi_tpu.optimization import sample_db_sharded as shd
 
+        if isinstance(db, shd.ShardedSampleDbState):
+            return shd.get_newest_samples(db, window, n_requested,
+                                          max_background_dists,
+                                          shard_fn=shard_fn)
         return dec.get_newest_samples(db, window, n_requested,
                                       max_background_dists)
     kmax, r = db.max_components, db.ring_iters
@@ -470,7 +482,12 @@ def get_newest_samples_fused(
 
     if not isinstance(db, SampleDbState):
         from gmmvi_tpu.optimization import sample_db_decimate as dec
+        from gmmvi_tpu.optimization import sample_db_sharded as shd
 
+        if isinstance(db, shd.ShardedSampleDbState):
+            return shd.get_newest_samples_fused(
+                db, window, n_requested, max_background_dists, model,
+                iteration, any_old_dists, shard_fn=shard_fn)
         win = dec.get_newest_samples(db, window, n_requested,
                                      max_background_dists)
         return win, density_pack(model, win.samples)
@@ -588,7 +605,10 @@ def get_random_samples(
     """
     if not isinstance(db, SampleDbState):
         from gmmvi_tpu.optimization import sample_db_decimate as dec
+        from gmmvi_tpu.optimization import sample_db_sharded as shd
 
+        if isinstance(db, shd.ShardedSampleDbState):
+            return shd.get_random_samples(db, key, n)
         return dec.get_random_samples(db, key, n)
     if not db.keep_samples:
         s = db.capacity
@@ -622,6 +642,10 @@ def repad_db(
     semantics (window contents, ordering, validity) are preserved exactly.
     """
     if not isinstance(db, SampleDbState):
+        from gmmvi_tpu.optimization import sample_db_sharded as shd
+
+        if isinstance(db, shd.ShardedSampleDbState):
+            return shd.repad_db(db, new_max_components, new_capacity)
         # the decimating DB's shapes do not depend on the component padding
         return db
     kmax, d = db.max_components, db.num_dimensions

@@ -200,6 +200,7 @@ def finalize_fused(
         db, iteration, model,
         proposal.samples, proposal.valid, proposal.mapping,
         target_lnpdfs, target_grads, key,
+        shard_fn=shard_fn,
     )
     n_new = jnp.sum(proposal.valid.astype(jnp.int32))
     w_total = total_window_size(cfg, model.max_components)

@@ -105,9 +105,16 @@ class GmmviRunner:
     def _cheap_metrics_device(state):
         """All cheap metrics as one device array (single host fetch)."""
         from gmmvi_tpu.optimization.sample_db import SampleDbState
+        from gmmvi_tpu.optimization.sample_db_sharded import (
+            ShardedSampleDbState)
 
         if isinstance(state.db, SampleDbState):
             db_size = jnp.minimum(state.db.write_pos, state.db.capacity)
+            num_dists = jnp.sum(state.db.dist_block_iter >= 0) \
+                * state.db.max_components
+        elif isinstance(state.db, ShardedSampleDbState):
+            db_size = jnp.sum(jnp.minimum(state.db.write_pos,
+                                          state.db.capacity_local))
             num_dists = jnp.sum(state.db.dist_block_iter >= 0) \
                 * state.db.max_components
         else:  # decimation-compatible DB

@@ -57,12 +57,15 @@ def main():
     from __graft_entry__ import _build_gmmvi
 
     hybrid = "--hybrid" in sys.argv
+    sharded_db = "--sharded-db" in sys.argv
     if hybrid:
         mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2),
                     ("data", "comp"))
     else:
         mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(8), ("data",))
-    g = _build_gmmvi(num_dimensions=20, n_des=200, kmax=48, k0=45, mesh=mesh)
+    tpu_extra = {"db_layout": "sharded"} if sharded_db else None
+    g = _build_gmmvi(num_dimensions=20, n_des=200, kmax=48, k0=45, mesh=mesh,
+                     tpu_extra=tpu_extra)
     # _spmd_scoped sets the kernel gate/mesh during tracing exactly like
     # train_iter does — without it the Pallas kernels trace unwrapped
     compiled = jax.jit(g._spmd_scoped(g._full_step),

@@ -75,55 +75,40 @@ def make_stm_params(d, seed=0):
     return stm  # holds weights/means/covs + JAX log_density
 
 
-def algorithm_config(n_des, kmax):
-    return {
+def algorithm_config(n_des, kmax, codename="SAMTRON", diagonal=False):
+    """Shared config dict for both sides: the package's default module
+    configs for ``codename`` (same YAMLs the reference ships), with the
+    small-run experiment overrides of the original SAMTRON harness."""
+    from gmmvi_tpu.configs import get_default_algorithm_config, update_config
+
+    cfg = get_default_algorithm_config(codename)
+    overrides = {
         "temperature": 1.0,
-        "ng_estimator_type": "Stein",
-        "ng_estimator_config": {
-            "only_use_own_samples": False,
-            "use_self_normalized_importance_weights": True,
+        "sample_selector_config": {
+            "desired_samples_per_component": n_des,
+            "ratio_reused_samples_to_desired": 0.0,
         },
-        "num_component_adapter_type": "adaptive",
-        "num_component_adapter_config": {
+        "use_sample_database": True,
+        "max_database_size": 10_000_000,
+        "model_initialization": {
+            "use_diagonal_covs": diagonal, "num_initial_components": 8,
+            "prior_mean": 0.0, "prior_scale": 20.0, "initial_cov": 100.0,
+        },
+        "component_stepsize_adapter_config": {"initial_stepsize": 0.1},
+    }
+    if cfg["num_component_adapter_type"] == "adaptive":
+        overrides["num_component_adapter_config"] = {
             "del_iters": 100, "add_iters": 30, "max_components": kmax,
             "thresholds_for_add_heuristic": [5000.0, 1000.0, 500.0, 200.0,
                                              100.0, 50.0],
             "min_weight_for_del_heuristic": 1e-6,
             "num_database_samples": 1024, "num_prior_samples": 0,
-        },
-        "sample_selector_type": "component-based",
-        "sample_selector_config": {
-            "desired_samples_per_component": n_des,
-            "ratio_reused_samples_to_desired": 0.0,
-        },
-        "ng_based_updater_type": "trust-region",
-        "ng_based_updater_config": {},
-        "component_stepsize_adapter_type": "improvement-based",
-        "component_stepsize_adapter_config": {
-            "initial_stepsize": 0.1, "min_stepsize": 0.001,
-            "max_stepsize": 1.0, "stepsize_inc_factor": 1.15,
-            "stepsize_dec_factor": 0.85,
-        },
-        "weight_updater_type": "trust-region",
-        "weight_updater_config": {
-            "use_self_normalized_importance_weights": True,
-        },
-        "weight_stepsize_adapter_type": "improvement_based",
-        "weight_stepsize_adapter_config": {
-            "initial_stepsize": 1.0, "min_stepsize": 1e-4,
-            "max_stepsize": 1.0, "stepsize_inc_factor": 1.15,
-            "stepsize_dec_factor": 0.85,
-        },
-        "use_sample_database": True,
-        "max_database_size": 10_000_000,
-        "model_initialization": {
-            "use_diagonal_covs": False, "num_initial_components": 8,
-            "prior_mean": 0.0, "prior_scale": 20.0, "initial_cov": 100.0,
-        },
-    }
+        }
+    return update_config(cfg, overrides)
 
 
-def run_reference(stm, iters, n_des, kmax, seed=0, k0=8):
+def run_reference(stm, iters, n_des, kmax, seed=0, k0=8, codename="SAMTRON",
+                  diagonal=False):
     import tensorflow as tf
 
     tf.config.set_visible_devices([], "GPU")
@@ -131,6 +116,7 @@ def run_reference(stm, iters, n_des, kmax, seed=0, k0=8):
     if REF not in sys.path:
         sys.path.insert(0, REF)
     from gmmvi.experiments.target_distributions.lnpdf import LNPDF
+    from gmmvi.models.diagonal_gmm import DiagonalGMM
     from gmmvi.models.full_cov_gmm import FullCovGMM
     from gmmvi.models.gmm_wrapper import GmmWrapper
     from gmmvi.optimization.gmmvi import GMMVI
@@ -178,9 +164,16 @@ def run_reference(stm, iters, n_des, kmax, seed=0, k0=8):
     rng = np.random.RandomState(seed)
     w0 = np.ones(k0, np.float32) / k0
     mu0 = (rng.standard_normal((k0, d)) * 20.0).astype(np.float32)
-    covs0 = np.tile((100.0 * np.eye(d, dtype=np.float32))[None], (k0, 1, 1))
-    model = FullCovGMM(tf.constant(w0), tf.constant(mu0), tf.constant(covs0))
-    cfg = algorithm_config(n_des, kmax)
+    if diagonal:
+        chols0 = np.full((k0, d), 10.0, np.float32)  # sqrt(100)
+        model = DiagonalGMM(tf.constant(w0), tf.constant(mu0),
+                            tf.constant(chols0))
+    else:
+        covs0 = np.tile((100.0 * np.eye(d, dtype=np.float32))[None],
+                        (k0, 1, 1))
+        model = FullCovGMM(tf.constant(w0), tf.constant(mu0),
+                           tf.constant(covs0))
+    cfg = algorithm_config(n_des, kmax, codename=codename, diagonal=diagonal)
     wrapped = GmmWrapper.build_from_config(model=model, config=cfg)
     gmmvi = GMMVI.build_from_config(config=cfg, target_distribution=target,
                                     model=wrapped)
@@ -207,7 +200,8 @@ def run_reference(stm, iters, n_des, kmax, seed=0, k0=8):
     }
 
 
-def run_ours(stm, iters, n_des, kmax, mu0, seed=0):
+def run_ours(stm, iters, n_des, kmax, mu0, seed=0, codename="SAMTRON",
+             diagonal=False):
     import jax
     import jax.numpy as jnp
 
@@ -218,10 +212,15 @@ def run_ours(stm, iters, n_des, kmax, mu0, seed=0):
 
     d = stm.get_num_dimensions()
     k0 = mu0.shape[0]
-    covs0 = np.tile((100.0 * np.eye(d, dtype=np.float32))[None], (k0, 1, 1))
+    if diagonal:
+        covs0 = np.full((k0, d), 100.0, np.float32)
+    else:
+        covs0 = np.tile((100.0 * np.eye(d, dtype=np.float32))[None],
+                        (k0, 1, 1))
     model = create_gmm_state(np.ones(k0, np.float32) / k0, mu0, covs0,
-                             max_components=kmax)
-    cfg = dict(algorithm_config(n_des, kmax))
+                             max_components=kmax, diagonal=diagonal)
+    cfg = dict(algorithm_config(n_des, kmax, codename=codename,
+                                diagonal=diagonal))
     cfg["seed"] = seed
     cfg["tpu"] = {"max_components": kmax}
     meta = M.create_meta_state(
