@@ -259,12 +259,16 @@ def main():
     ap.add_argument("--dims", type=int, default=10)
     ap.add_argument("--n-des", type=int, default=64)
     ap.add_argument("--kmax", type=int, default=16)
+    ap.add_argument("--codename", type=str, default="SAMTRON")
+    ap.add_argument("--diagonal", action="store_true")
     args = ap.parse_args()
 
     stm = make_stm_params(args.dims, seed=0)
-    ref = run_reference(stm, args.iters, args.n_des, args.kmax)
+    ref = run_reference(stm, args.iters, args.n_des, args.kmax,
+                        codename=args.codename, diagonal=args.diagonal)
     mu0 = ref.pop("mu0")
-    ours = run_ours(stm, args.iters, args.n_des, args.kmax, mu0)
+    ours = run_ours(stm, args.iters, args.n_des, args.kmax, mu0,
+                    codename=args.codename, diagonal=args.diagonal)
 
     print(json.dumps({"reference_tf_cpu": ref, "gmmvi_tpu": ours,
                       "elbo_gap": ours["elbo"] - ref["elbo"],
