@@ -121,15 +121,45 @@ def load_wine_split(dataset_seed: int):
     }
 
 
+def _mnist_from_npz(d) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Accept either this package's flat schema (train_x [N, 784] float in
+    [0, 1]) or the standard keras archive schema (x_train [N, 28, 28]
+    uint8)."""
+    keys = d.files if hasattr(d, "files") else d.keys()
+    if "train_x" in keys:
+        return d["train_x"], d["train_y"], d["test_x"], d["test_y"]
+    to_flat = lambda x: (np.asarray(x, np.float32) / 255.0).reshape(
+        x.shape[0], -1)
+    return (to_flat(d["x_train"]), np.asarray(d["y_train"]),
+            to_flat(d["x_test"]), np.asarray(d["y_test"]))
+
+
 def load_mnist():
     """(train_x [N, 784], train_y, test_x, test_y) in [0, 1].
 
-    Synthesized stand-in when no ``mnist.npz`` is found (the reference pulls
-    MNIST through tensorflow-datasets, bnn.py:320-336)."""
+    Resolution order: ``mnist.npz`` under GMMVI_DATASETS / the package data
+    dir (either this package's flat schema or the standard keras archive —
+    fetch one with ``python scripts/fetch_mnist.py``), the keras download
+    cache (``~/.keras/datasets/mnist.npz``), then a live
+    ``keras.datasets.mnist.load_data()`` (auto-downloads when the
+    environment has network).  The reference pulls MNIST through
+    tensorflow-datasets at runtime (bnn.py:320-336)."""
     p = _find("mnist.npz")
+    if p is None:
+        keras_cache = Path.home() / ".keras" / "datasets" / "mnist.npz"
+        if keras_cache.exists():
+            p = keras_cache
     if p is not None:
-        d = np.load(str(p))
-        return d["train_x"], d["train_y"], d["test_x"], d["test_y"]
+        with np.load(str(p), allow_pickle=True) as d:
+            return _mnist_from_npz(d)
+    try:
+        from keras.datasets import mnist as _keras_mnist
+
+        (x_tr, y_tr), (x_te, y_te) = _keras_mnist.load_data()
+        return _mnist_from_npz({"x_train": x_tr, "y_train": y_tr,
+                                "x_test": x_te, "y_test": y_te})
+    except Exception:
+        pass
     _missing("mnist", "mnist.npz")
     rng = np.random.RandomState(42)
     n_tr, n_te = 6000, 1000

@@ -221,3 +221,26 @@ def test_analytic_target_grads_match_autodiff():
         np.testing.assert_allclose(np.asarray(grad) / scale,
                                    np.asarray(grad_ad) / scale,
                                    rtol=3e-4, atol=3e-4)
+
+
+def test_mnist_loader_accepts_keras_archive(tmp_path, monkeypatch):
+    """The loader resolves a standard keras-schema mnist.npz (x_train
+    [N, 28, 28] uint8 — what scripts/fetch_mnist.py downloads) without
+    GMMVI_ALLOW_SYNTHETIC, normalizing to flat [N, 784] float in [0, 1]."""
+    import numpy as np
+
+    from gmmvi_tpu.experiments.targets import datasets as data_lib
+
+    rng = np.random.RandomState(0)
+    np.savez(tmp_path / "mnist.npz",
+             x_train=rng.randint(0, 256, (32, 28, 28)).astype(np.uint8),
+             y_train=rng.randint(0, 10, 32).astype(np.uint8),
+             x_test=rng.randint(0, 256, (8, 28, 28)).astype(np.uint8),
+             y_test=rng.randint(0, 10, 8).astype(np.uint8))
+    monkeypatch.setenv("GMMVI_DATASETS", str(tmp_path))
+    monkeypatch.delenv("GMMVI_ALLOW_SYNTHETIC", raising=False)
+    x_tr, y_tr, x_te, y_te = data_lib.load_mnist()
+    assert x_tr.shape == (32, 784) and x_te.shape == (8, 784)
+    assert x_tr.dtype == np.float32
+    assert 0.0 <= x_tr.min() and x_tr.max() <= 1.0
+    assert y_tr.shape == (32,)
