@@ -23,6 +23,7 @@ Prints exactly one JSON line.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -31,6 +32,38 @@ import jax
 # reference implementation, same workload shape, measured on this host's CPU
 # (see module docstring / RESULTS.md)
 REFERENCE_SAMPLES_PER_SEC = 51761.0
+
+# MXU peak of the assumed chip (v5e: 197 TFLOP/s bf16; the pipeline runs
+# f32-accumulated matmuls, so this is a deliberately harsh upper bound).
+# Override with GMMVI_PEAK_TFLOPS for other chips.
+PEAK_TFLOPS = float(os.environ.get("GMMVI_PEAK_TFLOPS", 197.0))
+
+
+def analytic_step_flops(d: int, kmax: int, n_des: int, tgt_k: int = 10,
+                        tr_trips: int = 7) -> dict:
+    """Analytic FLOPs of one compiled SAMTRON training step at this shape
+    (matmul/contraction terms only — elementwise/transcendental work is
+    O(K*B) and negligible against the O(K*B*D^2) chains).
+
+    Terms (padded shapes — what the chip actually executes):
+      sampling            mu + L eps                       2 K n D^2
+      target eval         STM density + analytic grad      2 * 2 T B D^2
+      density pack        whiten + precision-grad pass     2 * 2 K B D^2
+      stein moments       s_mom [K,D,D] + grad [K,D]       2 K B D^2 + 2 K B D
+      weight update       post-update density pass         2 K B D^2
+      trust region        ~trips batched chol + solves     trips * K * 7/3 D^3
+    """
+    b = kmax * n_des
+    f = {
+        "sampling": 2 * kmax * n_des * d * d,
+        "target_eval": 2 * 2 * tgt_k * b * d * d,
+        "density_pack": 2 * 2 * kmax * b * d * d,
+        "stein_moments": 2 * kmax * b * d * d + 2 * kmax * b * d,
+        "weight_update_density": 2 * kmax * b * d * d,
+        "trust_region": int(tr_trips * kmax * (7.0 / 3.0) * d ** 3 * 2),
+    }
+    f["total"] = sum(f.values())
+    return f
 
 
 def main():
@@ -64,11 +97,18 @@ def main():
         np.isfinite(np.asarray(gmmvi.state.model.means)[: int(
             gmmvi.state.model.num_active)])
     )
+    flops = analytic_step_flops(d=20, kmax=kmax, n_des=n_des)
+    steps_per_sec = iters / elapsed
+    achieved_tflops = flops["total"] * steps_per_sec / 1e12
     print(json.dumps({
         "metric": "samples_per_sec_per_chip_stm20_samtron",
         "value": round(samples_per_sec, 1),
         "unit": "samples/s",
         "vs_baseline": round(samples_per_sec / REFERENCE_SAMPLES_PER_SEC, 2),
+        "step_ms": round(1000.0 / steps_per_sec, 3),
+        "analytic_flops_per_step": flops["total"],
+        "achieved_tflops": round(achieved_tflops, 3),
+        "mfu_vs_bf16_peak": round(achieved_tflops / PEAK_TFLOPS, 4),
     }))
 
 
