@@ -274,6 +274,7 @@ def _fused_density_dispatch(state: GmmState, samples: jnp.ndarray, mode: str,
     import functools as _ft
 
     from gmmvi_tpu.ops import pallas_density as _pd
+    from gmmvi_tpu.ops import pallas_density_large as _pdl
 
     P = jax.sharding.PartitionSpec
     logdets = jnp.sum(
@@ -282,11 +283,17 @@ def _fused_density_dispatch(state: GmmState, samples: jnp.ndarray, mode: str,
     )
     logw = jnp.where(state.mask, state.log_weights, NEG_INF)
     interpret = mode == "interpret"
+    # the VMEM-resident kernel when it fits; else the K-tiled stream
+    small = _pd.supports(state.num_dimensions, state.max_components)
     if want == "pack":
-        fn = _ft.partial(_pd.fused_density_pack, interpret=interpret)
+        impl = _pd.fused_density_pack if small else \
+            _pdl.fused_density_pack_large
+        fn = _ft.partial(impl, interpret=interpret)
         out_specs = (P(None, "data"), P("data"), P("data"))
     else:
-        fn = _ft.partial(_pd.fused_component_densities, interpret=interpret)
+        impl = _pd.fused_component_densities if small else \
+            _pdl.fused_component_densities_large
+        fn = _ft.partial(impl, interpret=interpret)
         out_specs = (P(None, "data"), P("data"))
     mesh = spmd_data_mesh(samples.shape[0])
     if mesh is not None:
@@ -358,13 +365,15 @@ def _fused_density_mode(state: GmmState, n: int) -> str:
     """
     import os
 
-    from gmmvi_tpu.ops import pallas_density
+    from gmmvi_tpu.ops import pallas_density, pallas_density_large
 
     mode = os.environ.get("GMMVI_FUSED_DENSITY", "auto")
     if mode == "0":
         return "off"
-    if state.diagonal or not pallas_density.supports(
-            state.num_dimensions, state.max_components):
+    if state.diagonal or not (
+        pallas_density.supports(state.num_dimensions, state.max_components)
+        or pallas_density_large.supports(state.num_dimensions)
+    ):
         return "off"
     if SPMD_ACTIVE and spmd_data_mesh(n) is None \
             and mode not in ("1", "interpret"):

@@ -276,11 +276,13 @@ def _background_kernel(w1_ref, b1_ref, logdet_ref, logw_ref, x_ref,
         )
 
 
-@functools.partial(jax.jit, static_argnames=("d", "u_tile", "interpret"))
-def _background_call(w1, b1, logdets, logws, x, d, u_tile, interpret=False):
+@functools.partial(jax.jit,
+                   static_argnames=("d", "u_tile", "t", "interpret"))
+def _background_call(w1, b1, logdets, logws, x, d, u_tile, t=_N_TILE,
+                     interpret=False):
     ud, d_pad = w1.shape
     n_pad = x.shape[1]
-    n_tiles = n_pad // _N_TILE
+    n_tiles = n_pad // t
     u_tiles = ud // (u_tile * d)
     kernel = functools.partial(_background_kernel, d=d, u_tile=u_tile)
     (bg,) = pl.pallas_call(
@@ -291,17 +293,17 @@ def _background_call(w1, b1, logdets, logws, x, d, u_tile, interpret=False):
             pl.BlockSpec((u_tile * d, 1), lambda i, j: (j, 0)),
             pl.BlockSpec((u_tile, 1), lambda i, j: (j, 0)),
             pl.BlockSpec((u_tile, 1), lambda i, j: (j, 0)),
-            pl.BlockSpec((d_pad, _N_TILE), lambda i, j: (0, i)),
+            pl.BlockSpec((d_pad, t), lambda i, j: (0, i)),
         ],
         out_specs=[
-            pl.BlockSpec((8, _N_TILE), lambda i, j: (0, i)),
+            pl.BlockSpec((8, t), lambda i, j: (0, i)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((8, n_pad), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((8, _N_TILE), jnp.float32),
-            pltpu.VMEM((8, _N_TILE), jnp.float32),
+            pltpu.VMEM((8, t), jnp.float32),
+            pltpu.VMEM((8, t), jnp.float32),
         ],
         interpret=interpret,
     )(w1, b1, logdets, logws, x)
@@ -309,8 +311,17 @@ def _background_call(w1, b1, logdets, logws, x, d, u_tile, interpret=False):
 
 
 def supports_background(num_dimensions: int) -> bool:
-    """The streaming kernel tiles U, so only D is constrained."""
-    return _HAVE_PALLAS and 1 <= num_dimensions <= 128
+    """The streaming kernel tiles U, so only D is constrained.  Above
+    D=128, (u_tile, n_tile) come from the large-D VMEM budget; the 8-row
+    minimum u_tile bounds D at ~320."""
+    if not _HAVE_PALLAS or num_dimensions < 1:
+        return False
+    if num_dimensions <= 128:
+        return True
+    from gmmvi_tpu.ops import pallas_density_large as _pdl
+
+    picked = _pdl._pick_tiles(num_dimensions)
+    return picked is not None and picked[0] >= 8
 
 
 def fused_background_logpdf(means, inv_chols, log_weights, log_dets, samples,
@@ -331,35 +342,43 @@ def fused_background_logpdf(means, inv_chols, log_weights, log_dets, samples,
     n = samples.shape[0]
     if not _HAVE_PALLAS:
         raise RuntimeError("pallas unavailable")
-    if d > 128:
-        raise ValueError("fused background kernel supports D <= 128")
-    # budget both the [u_tile*d, T] whitened intermediate and the
-    # [u_tile, T] logit tile (at small D the latter dominates; u_tile=1024
-    # at D=2 measured an 18 MB scoped-VMEM overflow on v5e)
-    u_tile = max(8, min(_MAX_KD // d, 512) // 8 * 8)
+    if not supports_background(d):
+        raise ValueError("fused background kernel: D out of envelope")
+    if d <= 128:
+        # budget both the [u_tile*d, T] whitened intermediate and the
+        # [u_tile, T] logit tile (at small D the latter dominates;
+        # u_tile=1024 at D=2 measured an 18 MB scoped-VMEM overflow on v5e)
+        u_tile = max(8, min(_MAX_KD // d, 512) // 8 * 8)
+        t = _N_TILE
+    else:
+        from gmmvi_tpu.ops import pallas_density_large as _pdl
+
+        u_tile, t = _pdl._pick_tiles(d)
     u_pad = _round_up(u, u_tile)
     w1, b1, _, _, logdet_p, logw_p, x, _ = _pack(
         means, inv_chols, log_weights, log_dets, samples, rows_pad=u_pad,
-        need_w2=False)
+        need_w2=False, n_tile=t)
     bg = _background_call(w1, b1, logdet_p, logw_p, x, d=d, u_tile=u_tile,
-                          interpret=interpret)
+                          t=t, interpret=interpret)
     return bg[0, :n]
 
 
 def _pack(means, inv_chols, log_weights, log_dets, samples, rows_pad: int,
-          need_w2: bool):
+          need_w2: bool, n_tile: int = _N_TILE):
     """Shared packing for every fused kernel: stacked whitening factors +
     folded-mean biases, centered transposed samples.  ``rows_pad`` is the
     padded component-row count (K rounded to 8 for the density pack, U
     rounded to the streaming tile for the background kernel); all outputs
-    are tiny except the [D, N] sample matrix (a single pad + transpose)."""
+    are tiny except the [D, N] sample matrix (a single pad + transpose).
+    ``n_tile`` is the N-tile the consumer kernel iterates over (the large-D
+    kernels shrink it to fit VMEM)."""
     k, d = means.shape
     n = samples.shape[0]
     if not _HAVE_PALLAS:
         raise RuntimeError("pallas unavailable")
     kd = rows_pad * d
     d_pad = _round_up(d, 8)
-    n_pad = _round_up(n, _N_TILE)
+    n_pad = _round_up(n, n_tile)
     f32 = jnp.float32
 
     # global centering: bound the bias-fold magnitudes by the mixture spread

@@ -1,0 +1,284 @@
+"""K-tiled streaming density kernels for large D (the stm300 regime).
+
+The VMEM-resident density pack (:mod:`gmmvi_tpu.ops.pallas_density`) needs
+all ``K_pad * D`` stacked whitening rows live at once, which caps it at
+``D <= 128`` (and ``K_pad * D <= 2048``).  At D=300 the XLA path
+materializes ``[K, N, D]`` intermediates in HBM (~200 MB per pass at the
+SAMTRON stm300 shape) and the density/estimator phases are bandwidth-bound.
+
+These kernels stream over BOTH axes: grid ``(N-tiles, K-tiles)`` with the
+K axis inner/sequential, ``ktile`` components per K-tile (8 up to D~320,
+4 beyond — the double-buffered ``[ktile*D, D]`` whitening block dominates
+VMEM).  Per grid step, one stacked matmul whitens the tile
+(``y = W1 x - b1``), the Mahalanobis reduction produces the per-tile
+component-density block (written straight out), and the mixture logsumexp
+accumulates flash-attention-style (running max + rescaled sum in VMEM
+scratch, the pattern of :func:`pallas_density._background_kernel`).  The
+gradient pass is a second streamed kernel that re-whitens with the
+precision rows and accumulates ``-sum_k r_k (Lambda_k x - b2_k)`` into a
+``[D, T]`` scratch — no ``[K, N, D]`` array ever touches HBM.
+
+Per-component vectors (log-dets, log-weights) and the component-density
+output ride rank-3 ``[k_tiles, 8, ...]`` layouts (tiles padded to 8
+sublanes) so every block satisfies the (8, 128) f32 tiling constraint even
+when ``ktile < 8``.
+
+Numerics: identical bias-fold + global-centering scheme as the small-D
+kernels (see :func:`pallas_density._pack`); values match the XLA path to
+float rounding.
+
+(reference: the [K, N, D] hot chain of
+src/gmmvi/models/full_cov_gmm.py:56-62 at D=300.)
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+
+from gmmvi_tpu.ops import pallas_density as _pd
+
+LOG_2PI = math.log(2.0 * math.pi)
+_BIG_NEG = _pd._BIG_NEG
+_VMEM_BUDGET = 13 * 1024 * 1024
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAVE_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAVE_PALLAS = False
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+def _vmem_cost(d: int, ktile: int, t: int) -> int:
+    dp = _round_up(d, 8)
+    fixed = 2 * ktile * d * dp * 4          # double-buffered W block (+bias)
+    per_t = 3 * ktile * d * 4 + 3 * dp * 4  # y / contrib tiles + x + grads
+    return fixed + t * per_t
+
+
+def _pick_tiles(d: int):
+    """(ktile, t): components per K-tile and the N-tile length."""
+    for ktile in (8, 4):
+        if (ktile * d) % 8:
+            continue
+        t = 512
+        while t > 128 and _vmem_cost(d, ktile, t) > _VMEM_BUDGET:
+            t //= 2
+        if _vmem_cost(d, ktile, t) <= _VMEM_BUDGET:
+            return ktile, t
+    return None
+
+
+def supports(num_dimensions: int) -> bool:
+    """Also serves small D when K_pad * D exceeds the VMEM-resident
+    kernel's cap (large-K runs) — the K-tiled stream has no K bound."""
+    return (_HAVE_PALLAS and 1 <= num_dimensions <= 512
+            and _pick_tiles(num_dimensions) is not None)
+
+
+def _density_kernel(w1_ref, b1_ref, logdet_ref, logw_ref, x_ref,
+                    comp_ref, model_ref, m_ref, s_ref, *, d, ktile):
+    """Grid step (i, j) = (N-tile, K-tile); K inner for the accumulators."""
+    j = pl.program_id(1)
+    last = pl.num_programs(1) - 1
+    t = x_ref.shape[1]
+
+    y = jax.lax.dot_general(
+        w1_ref[...], x_ref[...], (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    ) - b1_ref[...]                                      # [ktile*d, T]
+    maha = jnp.sum((y * y).reshape(ktile, d, t), axis=1)
+    comp = -0.5 * maha - logdet_ref[0, :ktile] - 0.5 * d * LOG_2PI
+    if ktile < 8:
+        comp = jnp.concatenate(
+            [comp, jnp.zeros((8 - ktile, t), jnp.float32)], axis=0)
+    comp_ref[0] = comp                                   # [8, T] padded
+
+    logw = logw_ref[0]                                   # [8, 1], pad -inf
+    c = jnp.maximum(comp + logw, _BIG_NEG)               # [8, T]
+    tile_max = jnp.broadcast_to(jnp.max(c, axis=0, keepdims=True),
+                                m_ref.shape)
+
+    @pl.when(j == 0)
+    def _():
+        m_ref[...] = jnp.full(m_ref.shape, _BIG_NEG, jnp.float32)
+        s_ref[...] = jnp.zeros(s_ref.shape, jnp.float32)
+
+    prev_m = m_ref[...]
+    prev_s = s_ref[...]
+    new_m = jnp.maximum(prev_m, tile_max)
+    expc = jnp.where(c > 0.5 * _BIG_NEG, jnp.exp(c - new_m[:1, :]), 0.0)
+    ssum = jnp.sum(expc, axis=0, keepdims=True)
+    new_s = prev_s * jnp.exp(prev_m - new_m) + jnp.broadcast_to(
+        ssum, s_ref.shape)
+    m_ref[...] = new_m
+    s_ref[...] = new_s
+
+    @pl.when(j == last)
+    def _():
+        model_ref[...] = jnp.where(
+            new_s > 0.0,
+            jnp.log(jnp.maximum(new_s, 1e-38)) + new_m,
+            jnp.full(model_ref.shape, _BIG_NEG, jnp.float32),
+        )
+
+
+def _grad_kernel(w2_ref, b2_ref, logw_ref, comp_ref, model_ref, x_ref,
+                 grads_ref, acc_ref, *, d, ktile):
+    """Second streamed pass: grads(x) = -sum_k r_k (Lambda_k x - b2_k)."""
+    j = pl.program_id(1)
+    last = pl.num_programs(1) - 1
+    t = x_ref.shape[1]
+
+    ptd = jax.lax.dot_general(
+        w2_ref[...], x_ref[...], (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    ) - b2_ref[...]                                      # [ktile*d, T]
+    logw = logw_ref[0, :ktile]                           # [ktile, 1]
+    lr = comp_ref[0, :ktile] + logw - model_ref[0:1, :]  # [ktile, T]
+    resp = jnp.where(logw > 0.5 * _BIG_NEG, jnp.exp(lr), 0.0)
+    contrib = jnp.sum(ptd.reshape(ktile, d, t) * resp[:, None, :], axis=0)
+    pad_rows = acc_ref.shape[0] - d
+    if pad_rows:
+        contrib = jnp.concatenate(
+            [contrib, jnp.zeros((pad_rows, t), jnp.float32)], axis=0)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[...] = jnp.zeros(acc_ref.shape, jnp.float32)
+
+    acc_ref[...] += contrib
+
+    @pl.when(j == last)
+    def _():
+        grads_ref[...] = -acc_ref[...]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("d", "ktile", "t", "interpret"))
+def _densities_call(w1, b1, logdets, logws, x, d, ktile, t, interpret=False):
+    kd, d_pad = w1.shape
+    n_pad = x.shape[1]
+    n_tiles = n_pad // t
+    k_tiles = kd // (ktile * d)
+    kernel = functools.partial(_density_kernel, d=d, ktile=ktile)
+    comp, model = pl.pallas_call(
+        kernel,
+        grid=(n_tiles, k_tiles),
+        in_specs=[
+            pl.BlockSpec((ktile * d, d_pad), lambda i, j: (j, 0)),
+            pl.BlockSpec((ktile * d, 1), lambda i, j: (j, 0)),
+            pl.BlockSpec((1, 8, 1), lambda i, j: (j, 0, 0)),
+            pl.BlockSpec((1, 8, 1), lambda i, j: (j, 0, 0)),
+            pl.BlockSpec((d_pad, t), lambda i, j: (0, i)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 8, t), lambda i, j: (j, 0, i)),
+            pl.BlockSpec((8, t), lambda i, j: (0, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((k_tiles, 8, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((8, n_pad), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((8, t), jnp.float32),
+            pltpu.VMEM((8, t), jnp.float32),
+        ],
+        interpret=interpret,
+    )(w1, b1, logdets, logws, x)
+    return comp, model
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("d", "ktile", "t", "interpret"))
+def _grads_call(w2, b2, logws, comp, model, x, d, ktile, t, interpret=False):
+    kd, d_pad = w2.shape
+    n_pad = x.shape[1]
+    n_tiles = n_pad // t
+    k_tiles = kd // (ktile * d)
+    kernel = functools.partial(_grad_kernel, d=d, ktile=ktile)
+    (grads,) = pl.pallas_call(
+        kernel,
+        grid=(n_tiles, k_tiles),
+        in_specs=[
+            pl.BlockSpec((ktile * d, d_pad), lambda i, j: (j, 0)),
+            pl.BlockSpec((ktile * d, 1), lambda i, j: (j, 0)),
+            pl.BlockSpec((1, 8, 1), lambda i, j: (j, 0, 0)),
+            pl.BlockSpec((1, 8, t), lambda i, j: (j, 0, i)),
+            pl.BlockSpec((8, t), lambda i, j: (0, i)),
+            pl.BlockSpec((d_pad, t), lambda i, j: (0, i)),
+        ],
+        out_specs=[
+            pl.BlockSpec((d_pad, t), lambda i, j: (0, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((d_pad, n_pad), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((d_pad, t), jnp.float32),
+        ],
+        interpret=interpret,
+    )(w2, b2, logws, comp, model, x)
+    return grads
+
+
+def _prepare(means, inv_chols, log_weights, log_dets, samples, need_w2):
+    k, d = means.shape
+    ktile, t = _pick_tiles(d)
+    k_pad = _round_up(k, ktile)
+    k_tiles = k_pad // ktile
+    w1, b1, w2, b2, logdet_p, logw_p, x, _ = _pd._pack(
+        means, inv_chols, log_weights, log_dets, samples,
+        rows_pad=k_pad, need_w2=need_w2, n_tile=t)
+    # rank-3 padded per-component vectors: [k_tiles, 8, 1]
+    def tiles3(v, fill):
+        out = jnp.full((k_tiles, 8, 1), fill, jnp.float32)
+        return out.at[:, :ktile, :].set(v.reshape(k_tiles, ktile, 1))
+
+    logdet3 = tiles3(logdet_p, 0.0)
+    logw3 = tiles3(logw_p, _BIG_NEG)
+    return (w1, b1, w2, b2, logdet3, logw3, x, ktile, t, k_pad, k_tiles)
+
+
+def _unpad_comp(comp3, ktile, k, n):
+    """[k_tiles, 8, n_pad] -> [k, n] (drop sublane padding per tile)."""
+    return comp3[:, :ktile, :].reshape(-1, comp3.shape[2])[:k, :n]
+
+
+def fused_component_densities_large(means, inv_chols, log_weights, log_dets,
+                                    samples, interpret=False):
+    """(component log-densities [K, N], mixture log-density [N]),
+    streamed over K-tiles; supports D up to 512 with no K bound."""
+    k, d = means.shape
+    n = samples.shape[0]
+    (w1, b1, _, _, logdet3, logw3, x, ktile, t, _, _) = _prepare(
+        means, inv_chols, log_weights, log_dets, samples, need_w2=False)
+    comp3, model = _densities_call(w1, b1, logdet3, logw3, x, d=d,
+                                   ktile=ktile, t=t, interpret=interpret)
+    return _unpad_comp(comp3, ktile, k, n), model[0, :n]
+
+
+def fused_density_pack_large(means, inv_chols, log_weights, log_dets,
+                             samples, interpret=False):
+    """(component log-densities [K, N], mixture log-density [N], mixture
+    grads [N, D]); two streamed passes sharing the packed inputs."""
+    k, d = means.shape
+    n = samples.shape[0]
+    (w1, b1, w2, b2, logdet3, logw3, x, ktile, t, _, _) = _prepare(
+        means, inv_chols, log_weights, log_dets, samples, need_w2=True)
+    comp3, model = _densities_call(w1, b1, logdet3, logw3, x, d=d,
+                                   ktile=ktile, t=t, interpret=interpret)
+    grads = _grads_call(w2, b2, logw3, comp3, model, x, d=d, ktile=ktile,
+                        t=t, interpret=interpret)
+    return (_unpad_comp(comp3, ktile, k, n), model[0, :n],
+            grads[:d, :n].T)

@@ -284,7 +284,12 @@ def _fused_background_mode(db: SampleDbState, n: int, u: int) -> str:
         return "off"
     if mode == "interpret":
         return "interpret"
-    if (n < 512 or u < 768) and mode != "1":
+    if db.num_dimensions <= 128 and (n < 512 or u < 768) and mode != "1":
+        # measured crossover at small D (see docstring); at large D the XLA
+        # chain's [U, W, D] HBM traffic dominates at any U, so the kernel
+        # engages whenever the window is big enough to tile
+        return "off"
+    if db.num_dimensions > 128 and n < 512 and mode != "1":
         return "off"
     try:
         on_tpu = jax.default_backend() == "tpu"

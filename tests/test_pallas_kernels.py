@@ -99,11 +99,13 @@ def test_fused_density_pack_matches_xla():
                                atol=1e-6)
 
 
-@pytest.mark.parametrize("u,d,n", [(7, 5, 600), (70, 60, 520)])
+@pytest.mark.parametrize("u,d,n", [(7, 5, 600), (70, 60, 520),
+                                   (40, 300, 640)])
 def test_fused_background_logpdf_matches_xla(u, d, n):
     """The streaming (U-tiled, online-logsumexp) background kernel matches
     the XLA chain, including masked dists and multiple U tiles (the second
-    case spans 3 tiles at u_tile=32)."""
+    case spans 3 tiles at u_tile=32; the third exercises the large-D
+    (u_tile, n_tile) budget path at D=300)."""
     from gmmvi_tpu.ops.pallas_density import fused_background_logpdf
 
     rng = np.random.RandomState(0)
@@ -423,3 +425,84 @@ def test_more_estimate_fused_matches_map_path():
     np.testing.assert_allclose(np.asarray(got.expected_gradients_neg),
                                np.asarray(want.expected_gradients_neg),
                                rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("k,d,n", [(20, 300, 700), (150, 33, 600),
+                                   (9, 512, 300)])
+def test_large_d_density_kernels_match_xla(k, d, n):
+    """K-tiled streaming kernels (pallas_density_large): densities, mixture
+    logsumexp, and gradients equal the XLA path across the envelope —
+    large D (stm300 regime), small-D/large-K (beyond the VMEM-resident
+    kernel's K_pad*D cap), and the D=512 edge."""
+    from gmmvi_tpu.models import gmm as G
+    from gmmvi_tpu.ops.pallas_density_large import (
+        fused_component_densities_large, fused_density_pack_large, supports)
+
+    assert supports(d)
+    rng = np.random.RandomState(d)
+    w = rng.rand(k).astype(np.float32) + 0.1
+    mu = (rng.randn(k, d) * 3).astype(np.float32)
+    a = rng.randn(k, d, d).astype(np.float32) * 0.1
+    covs = np.einsum("kij,klj->kil", a, a) + np.eye(d, dtype=np.float32)
+    st = G.create_gmm_state(w / w.sum(), mu, covs, max_components=k + 3)
+    x = (rng.randn(n, d) * 2 + mu[0]).astype(np.float32)
+
+    pack = G.density_pack(st, jnp.asarray(x))  # XLA path on CPU
+    logdets = np.sum(np.log(np.abs(np.diagonal(
+        np.asarray(st.chols), axis1=-2, axis2=-1))), -1)
+    logw = np.where(np.asarray(st.mask), np.asarray(st.log_weights), -np.inf)
+    comp, model, grads = fused_density_pack_large(
+        st.means, st.inv_chols, jnp.asarray(logw), jnp.asarray(logdets),
+        jnp.asarray(x), interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(comp)[:k], np.asarray(pack.component_log_densities)[:k],
+        rtol=2e-4, atol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(model), np.asarray(pack.model_log_densities),
+        rtol=2e-4, atol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(grads), np.asarray(pack.model_grads),
+        rtol=2e-3, atol=2e-3)
+
+    c2, m2 = fused_component_densities_large(
+        st.means, st.inv_chols, jnp.asarray(logw), jnp.asarray(logdets),
+        jnp.asarray(x), interpret=True)
+    np.testing.assert_allclose(np.asarray(c2), np.asarray(comp), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(m2), np.asarray(model), rtol=1e-6)
+
+
+def test_large_d_dispatch_through_density_pack():
+    """GMMVI_FUSED_DENSITY=interpret at D=300 routes density_pack through
+    the K-tiled kernels (the small-D kernel does not support it)."""
+    import os
+
+    from gmmvi_tpu.models import gmm as G
+    from gmmvi_tpu.ops import pallas_density
+
+    d, k, n = 200, 6, 520
+    assert not pallas_density.supports(d, k)
+    rng = np.random.RandomState(1)
+    mu = rng.randn(k, d).astype(np.float32)
+    covs = np.tile(np.eye(d, dtype=np.float32)[None], (k, 1, 1))
+    st = G.create_gmm_state(np.ones(k, np.float32) / k, mu, covs,
+                            max_components=k)
+    x = rng.randn(n, d).astype(np.float32)
+
+    old = os.environ.get("GMMVI_FUSED_DENSITY")
+    try:
+        os.environ["GMMVI_FUSED_DENSITY"] = "0"
+        plain = G.density_pack(st, jnp.asarray(x))
+        os.environ["GMMVI_FUSED_DENSITY"] = "interpret"
+        fused = G.density_pack(st, jnp.asarray(x))
+    finally:
+        if old is None:
+            os.environ.pop("GMMVI_FUSED_DENSITY", None)
+        else:
+            os.environ["GMMVI_FUSED_DENSITY"] = old
+    assert fused.prec_times_diff is None  # kernel-produced pack
+    np.testing.assert_allclose(
+        np.asarray(fused.model_log_densities),
+        np.asarray(plain.model_log_densities), rtol=2e-4, atol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(fused.model_grads), np.asarray(plain.model_grads),
+        rtol=2e-3, atol=2e-3)
