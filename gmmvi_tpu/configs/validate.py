@@ -202,6 +202,17 @@ def validate_config(config: Mapping, require_target: bool = False,
         # always strict: an unknown tpu key is silently ignored otherwise
         _check_mapping("tpu", tpu_cfg, _KNOWN_TPU_KEYS, problems,
                        strict=True if strict is None else bool(strict))
+        for key, allowed in (
+            ("db_layout", ("global", "sharded")),
+            ("db_eviction", ("ring", "decimate")),
+            ("compact_target_eval", ("auto", "on", "off")),
+            ("trust_region_search", ("bracket", "bracket-eigen", "grid")),
+        ):
+            val = tpu_cfg.get(key)
+            if val is not None and str(val) not in allowed:
+                problems.append(
+                    f"tpu.{key}: unknown value {val!r} (expected one of "
+                    f"{', '.join(allowed)})")
 
     mmd = config.get("mmd_evaluation_config")
     if isinstance(mmd, Mapping):

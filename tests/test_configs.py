@@ -130,3 +130,18 @@ def test_representative_codenames_build_and_step(codename):
         gmmvi.train_iter()
     means = np.asarray(gmmvi.state.model.means)
     assert np.all(np.isfinite(means[: int(gmmvi.state.model.num_active)]))
+
+
+def test_tpu_enum_values_validated():
+    import pytest
+
+    from gmmvi_tpu.configs import get_default_config, update_config
+    from gmmvi_tpu.configs.validate import ConfigError, validate_config
+
+    cfg = get_default_config("SAMTRON", "gmm20")
+    bad = update_config(cfg, {"tpu": {"db_layout": "shardd"}})
+    with pytest.raises(ConfigError, match="db_layout.*shardd"):
+        validate_config(bad)
+    ok = update_config(cfg, {"tpu": {"db_eviction": "decimate",
+                                     "compact_target_eval": "off"}})
+    validate_config(ok)
