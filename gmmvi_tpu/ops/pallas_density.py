@@ -225,17 +225,22 @@ def _fused_density_call(w1, b1, w2, b2, logdets, logws, x, d, k_pad,
 
 
 def _background_kernel(w1_ref, b1_ref, logdet_ref, logw_ref, x_ref,
-                       out_ref, m_ref, s_ref, *, d, u_tile):
-    """One grid step = one (N-tile, U-tile) pair; U is the inner grid axis.
+                       out_ref, m_ref, s_ref, *, d, u_tile, t):
+    """One grid step = one (U-tile, N-tile) pair; U is the OUTER grid axis.
 
     Streams the count-weighted mixture logsumexp over U-tiles with flash-
     attention-style online accumulators (running max ``m`` and rescaled sum
-    ``s`` in VMEM scratch), so the ``[U, N]`` logit matrix and the
-    ``[U, N, D]`` whitening chain never touch HBM — the only HBM output is
-    the ``[N]`` background log-density."""
-    j = pl.program_id(1)
-    last = pl.num_programs(1) - 1
-    t = x_ref.shape[1]
+    ``s`` in full-width ``[8, N_pad]`` VMEM scratch, sliced per N-tile), so
+    the ``[U, N]`` logit matrix and the ``[U, N, D]`` whitening chain never
+    touch HBM.  U-outer ordering keeps each ``[u_tile*D, D]`` whitening
+    block resident across the whole N sweep — with N outer (the previous
+    layout) the full stacked-W matrix restreamed once per N-tile, ~5.6 GB
+    of HBM traffic per pass at the stm300 background shape (U_pad=160,
+    W=12000, D=300) vs ~58 MB now."""
+    j = pl.program_id(0)
+    i = pl.program_id(1)
+    last = pl.num_programs(0) - 1
+    col = pl.ds(i * t, t)
 
     y = jax.lax.dot_general(
         w1_ref[...], x_ref[...], (((1,), (0,)), ((), ())),
@@ -247,15 +252,15 @@ def _background_kernel(w1_ref, b1_ref, logdet_ref, logw_ref, x_ref,
     c = jnp.maximum(c, _BIG_NEG)
 
     tile_max = jnp.broadcast_to(jnp.max(c, axis=0, keepdims=True),
-                                m_ref.shape)                 # [8, T]
+                                (8, t))
 
     @pl.when(j == 0)
     def _():
-        m_ref[...] = jnp.full(m_ref.shape, _BIG_NEG, jnp.float32)
-        s_ref[...] = jnp.zeros(s_ref.shape, jnp.float32)
+        m_ref[:, col] = jnp.full((8, t), _BIG_NEG, jnp.float32)
+        s_ref[:, col] = jnp.zeros((8, t), jnp.float32)
 
-    prev_m = m_ref[...]
-    prev_s = s_ref[...]
+    prev_m = m_ref[:, col]
+    prev_s = s_ref[:, col]
     new_m = jnp.maximum(prev_m, tile_max)
     # masked rows carry c = _BIG_NEG: exp(c - new_m) underflows to 0 for any
     # finite new_m; the all-masked case keeps new_m = _BIG_NEG and the final
@@ -263,16 +268,16 @@ def _background_kernel(w1_ref, b1_ref, logdet_ref, logw_ref, x_ref,
     expc = jnp.exp(c - new_m[:1, :])
     ssum = jnp.sum(expc, axis=0, keepdims=True)              # [1, T]
     new_s = prev_s * jnp.exp(prev_m - new_m) + jnp.broadcast_to(
-        ssum, s_ref.shape)
-    m_ref[...] = new_m
-    s_ref[...] = new_s
+        ssum, (8, t))
+    m_ref[:, col] = new_m
+    s_ref[:, col] = new_s
 
     @pl.when(j == last)
     def _():
         out_ref[...] = jnp.where(
             new_s > 0.0,
             jnp.log(jnp.maximum(new_s, 1e-38)) + new_m,
-            jnp.full(out_ref.shape, _BIG_NEG, jnp.float32),
+            jnp.full((8, t), _BIG_NEG, jnp.float32),
         )
 
 
@@ -284,26 +289,26 @@ def _background_call(w1, b1, logdets, logws, x, d, u_tile, t=_N_TILE,
     n_pad = x.shape[1]
     n_tiles = n_pad // t
     u_tiles = ud // (u_tile * d)
-    kernel = functools.partial(_background_kernel, d=d, u_tile=u_tile)
+    kernel = functools.partial(_background_kernel, d=d, u_tile=u_tile, t=t)
     (bg,) = pl.pallas_call(
         kernel,
-        grid=(n_tiles, u_tiles),
+        grid=(u_tiles, n_tiles),  # U outer: W blocks stay resident
         in_specs=[
-            pl.BlockSpec((u_tile * d, d_pad), lambda i, j: (j, 0)),
-            pl.BlockSpec((u_tile * d, 1), lambda i, j: (j, 0)),
-            pl.BlockSpec((u_tile, 1), lambda i, j: (j, 0)),
-            pl.BlockSpec((u_tile, 1), lambda i, j: (j, 0)),
-            pl.BlockSpec((d_pad, t), lambda i, j: (0, i)),
+            pl.BlockSpec((u_tile * d, d_pad), lambda j, i: (j, 0)),
+            pl.BlockSpec((u_tile * d, 1), lambda j, i: (j, 0)),
+            pl.BlockSpec((u_tile, 1), lambda j, i: (j, 0)),
+            pl.BlockSpec((u_tile, 1), lambda j, i: (j, 0)),
+            pl.BlockSpec((d_pad, t), lambda j, i: (0, i)),
         ],
         out_specs=[
-            pl.BlockSpec((8, t), lambda i, j: (0, i)),
+            pl.BlockSpec((8, t), lambda j, i: (0, i)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((8, n_pad), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((8, t), jnp.float32),
-            pltpu.VMEM((8, t), jnp.float32),
+            pltpu.VMEM((8, n_pad), jnp.float32),
+            pltpu.VMEM((8, n_pad), jnp.float32),
         ],
         interpret=interpret,
     )(w1, b1, logdets, logws, x)

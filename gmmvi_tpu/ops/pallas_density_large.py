@@ -85,11 +85,18 @@ def supports(num_dimensions: int) -> bool:
 
 
 def _density_kernel(w1_ref, b1_ref, logdet_ref, logw_ref, x_ref,
-                    comp_ref, model_ref, m_ref, s_ref, *, d, ktile):
-    """Grid step (i, j) = (N-tile, K-tile); K inner for the accumulators."""
-    j = pl.program_id(1)
-    last = pl.num_programs(1) - 1
-    t = x_ref.shape[1]
+                    comp_ref, model_ref, m_ref, s_ref, *, d, ktile, t):
+    """Grid step (j, i) = (K-tile, N-tile); K OUTER so each [ktile*D, D]
+    whitening block stays resident across the whole N sweep (K inner would
+    restream the full stacked-W matrix once per N-tile — ~1.4 GB/pass at
+    the stm300 shape; measured end-to-end neutral there, the pass is
+    MXU-compute-bound, but residency scales better with window size).  The
+    mixture-logsumexp accumulators live in full-width [8, N_pad] scratch,
+    sliced per N-tile."""
+    j = pl.program_id(0)
+    i = pl.program_id(1)
+    last = pl.num_programs(0) - 1
+    col = pl.ds(i * t, t)
 
     y = jax.lax.dot_general(
         w1_ref[...], x_ref[...], (((1,), (0,)), ((), ())),
@@ -105,30 +112,29 @@ def _density_kernel(w1_ref, b1_ref, logdet_ref, logw_ref, x_ref,
 
     logw = logw_ref[0]                                   # [8, 1], pad -inf
     c = jnp.maximum(comp + logw, _BIG_NEG)               # [8, T]
-    tile_max = jnp.broadcast_to(jnp.max(c, axis=0, keepdims=True),
-                                m_ref.shape)
+    tile_max = jnp.broadcast_to(jnp.max(c, axis=0, keepdims=True), (8, t))
 
     @pl.when(j == 0)
     def _():
-        m_ref[...] = jnp.full(m_ref.shape, _BIG_NEG, jnp.float32)
-        s_ref[...] = jnp.zeros(s_ref.shape, jnp.float32)
+        m_ref[:, col] = jnp.full((8, t), _BIG_NEG, jnp.float32)
+        s_ref[:, col] = jnp.zeros((8, t), jnp.float32)
 
-    prev_m = m_ref[...]
-    prev_s = s_ref[...]
+    prev_m = m_ref[:, col]
+    prev_s = s_ref[:, col]
     new_m = jnp.maximum(prev_m, tile_max)
     expc = jnp.where(c > 0.5 * _BIG_NEG, jnp.exp(c - new_m[:1, :]), 0.0)
     ssum = jnp.sum(expc, axis=0, keepdims=True)
     new_s = prev_s * jnp.exp(prev_m - new_m) + jnp.broadcast_to(
-        ssum, s_ref.shape)
-    m_ref[...] = new_m
-    s_ref[...] = new_s
+        ssum, (8, t))
+    m_ref[:, col] = new_m
+    s_ref[:, col] = new_s
 
     @pl.when(j == last)
     def _():
         model_ref[...] = jnp.where(
             new_s > 0.0,
             jnp.log(jnp.maximum(new_s, 1e-38)) + new_m,
-            jnp.full(model_ref.shape, _BIG_NEG, jnp.float32),
+            jnp.full((8, t), _BIG_NEG, jnp.float32),
         )
 
 
@@ -171,28 +177,28 @@ def _densities_call(w1, b1, logdets, logws, x, d, ktile, t, interpret=False):
     n_pad = x.shape[1]
     n_tiles = n_pad // t
     k_tiles = kd // (ktile * d)
-    kernel = functools.partial(_density_kernel, d=d, ktile=ktile)
+    kernel = functools.partial(_density_kernel, d=d, ktile=ktile, t=t)
     comp, model = pl.pallas_call(
         kernel,
-        grid=(n_tiles, k_tiles),
+        grid=(k_tiles, n_tiles),  # K outer: W blocks stay resident
         in_specs=[
-            pl.BlockSpec((ktile * d, d_pad), lambda i, j: (j, 0)),
-            pl.BlockSpec((ktile * d, 1), lambda i, j: (j, 0)),
-            pl.BlockSpec((1, 8, 1), lambda i, j: (j, 0, 0)),
-            pl.BlockSpec((1, 8, 1), lambda i, j: (j, 0, 0)),
-            pl.BlockSpec((d_pad, t), lambda i, j: (0, i)),
+            pl.BlockSpec((ktile * d, d_pad), lambda j, i: (j, 0)),
+            pl.BlockSpec((ktile * d, 1), lambda j, i: (j, 0)),
+            pl.BlockSpec((1, 8, 1), lambda j, i: (j, 0, 0)),
+            pl.BlockSpec((1, 8, 1), lambda j, i: (j, 0, 0)),
+            pl.BlockSpec((d_pad, t), lambda j, i: (0, i)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 8, t), lambda i, j: (j, 0, i)),
-            pl.BlockSpec((8, t), lambda i, j: (0, i)),
+            pl.BlockSpec((1, 8, t), lambda j, i: (j, 0, i)),
+            pl.BlockSpec((8, t), lambda j, i: (0, i)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((k_tiles, 8, n_pad), jnp.float32),
             jax.ShapeDtypeStruct((8, n_pad), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((8, t), jnp.float32),
-            pltpu.VMEM((8, t), jnp.float32),
+            pltpu.VMEM((8, n_pad), jnp.float32),
+            pltpu.VMEM((8, n_pad), jnp.float32),
         ],
         interpret=interpret,
     )(w1, b1, logdets, logws, x)

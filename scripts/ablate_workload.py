@@ -38,24 +38,27 @@ def _tree_sum(x) -> jnp.ndarray:
 
 
 def scan_timeit(phase_fn, state, iters, reps=4):
-    def step(carry, _):
-        key, acc = carry
-        key, sub = jax.random.split(key)
-        out = phase_fn(state.replace(key=sub))
-        return (key, acc + _tree_sum(out)), None
-
+    # state rides as an ARGUMENT: closure-capturing it embeds the whole DB
+    # (hundreds of MB at stm300) as HLO constants, blowing past the axon
+    # remote-compile request limit (HTTP 413)
     @jax.jit
-    def run(key):
+    def run(key, st):
+        def step(carry, _):
+            key, acc = carry
+            key, sub = jax.random.split(key)
+            out = phase_fn(st.replace(key=sub))
+            return (key, acc + _tree_sum(out)), None
+
         (key, acc), _ = jax.lax.scan(
             step, (key, jnp.float32(0)), None, length=iters)
         return acc
 
     key = jax.random.PRNGKey(7)
-    run(key).block_until_ready()
+    run(key, state).block_until_ready()
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        run(key).block_until_ready()
+        run(key, state).block_until_ready()
         best = min(best, time.perf_counter() - t0)
     return best / iters * 1e3
 

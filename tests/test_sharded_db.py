@@ -230,3 +230,37 @@ def test_sharded_db_config_validation():
     t, model, meta = init_experiment(cfg)
     with pytest.raises(ValueError, match="incompatible"):
         GMMVI.build_from_config(cfg, t, model, meta, mesh=_mesh())
+
+
+@requires_multidevice
+def test_sharded_db_from_yaml_through_runner():
+    """tpu: {data_shards: all, db_layout: sharded} activates the sharded
+    ring through GmmviRunner with no programmatic mesh."""
+    from gmmvi_tpu.configs import get_default_algorithm_config, update_config
+    from gmmvi_tpu.runner import GmmviRunner
+
+    cfg = get_default_algorithm_config("SAMTRON")
+    cfg = update_config(cfg, {
+        "start_seed": 1, "target_fn": make_simple_target(),
+        "model_initialization": {
+            "use_diagonal_covs": False, "num_initial_components": 3,
+            "prior_mean": 0.0, "prior_scale": 3.0, "initial_cov": 4.0,
+        },
+        "use_sample_database": True, "max_database_size": 100000,
+        "temperature": 1.0,
+        "sample_selector_config": {"desired_samples_per_component": 16,
+                                   "ratio_reused_samples_to_desired": 1.0},
+        "num_component_adapter_config": {
+            "del_iters": 8, "add_iters": 5, "max_components": 8,
+            "thresholds_for_add_heuristic": [500.0],
+            "min_weight_for_del_heuristic": 1e-6,
+            "num_database_samples": 64, "num_prior_samples": 0,
+        },
+        "gmmvi_runner_config": {"log_metrics_interval": 100},
+        "tpu": {"max_components": 8, "data_shards": "all",
+                "db_layout": "sharded"},
+    })
+    runner = GmmviRunner.build_from_config(cfg)
+    assert isinstance(runner.gmmvi.state.db, shd.ShardedSampleDbState)
+    out = runner.iterate_and_log(0)
+    assert np.isfinite(out["num_samples"]) and out["num_samples"] > 0
