@@ -203,7 +203,7 @@ def validate_config(config: Mapping, require_target: bool = False,
         _check_mapping("tpu", tpu_cfg, _KNOWN_TPU_KEYS, problems,
                        strict=True if strict is None else bool(strict))
         for key, allowed in (
-            ("db_layout", ("global", "sharded")),
+            ("db_layout", ("auto", "global", "sharded")),
             ("db_eviction", ("ring", "decimate")),
             ("compact_target_eval", ("auto", "on", "off")),
             ("trust_region_search", ("bracket", "bracket-eigen", "grid")),

@@ -317,16 +317,17 @@ def _background_call(w1, b1, logdets, logws, x, d, u_tile, t=_N_TILE,
 
 def supports_background(num_dimensions: int) -> bool:
     """The streaming kernel tiles U, so only D is constrained.  Above
-    D=128, (u_tile, n_tile) come from the large-D VMEM budget; the 8-row
-    minimum u_tile bounds D at ~320."""
+    D=128, (u_tile, n_tile) come from the large-D VMEM budget; above
+    D~360 (u_tile=4) the pass routes through the K-tiled density stream
+    whose rank-3 vector layout has no 8-sublane minimum, matching the
+    density kernels' D<=512 envelope."""
     if not _HAVE_PALLAS or num_dimensions < 1:
         return False
     if num_dimensions <= 128:
         return True
     from gmmvi_tpu.ops import pallas_density_large as _pdl
 
-    picked = _pdl._pick_tiles(num_dimensions)
-    return picked is not None and picked[0] >= 8
+    return _pdl._pick_tiles(num_dimensions) is not None
 
 
 def fused_background_logpdf(means, inv_chols, log_weights, log_dets, samples,
@@ -359,6 +360,17 @@ def fused_background_logpdf(means, inv_chols, log_weights, log_dets, samples,
         from gmmvi_tpu.ops import pallas_density_large as _pdl
 
         u_tile, t = _pdl._pick_tiles(d)
+        if u_tile < 8:
+            # D > ~360: this kernel's rank-2 [u_tile, 1] per-dist vector
+            # blocks need >= 8 sublanes; the K-tiled density stream uses a
+            # rank-3 [tiles, 8, 1] layout instead — its mixture-logsumexp
+            # output IS the count-weighted background (the per-dist density
+            # block it also writes is a few MB of HBM, negligible vs the
+            # whitening matmuls at this D).
+            _, model = _pdl.fused_component_densities_large(
+                means, inv_chols, log_weights, log_dets, samples,
+                interpret=interpret)
+            return model
     u_pad = _round_up(u, u_tile)
     w1, b1, _, _, logdet_p, logw_p, x, _ = _pack(
         means, inv_chols, log_weights, log_dets, samples, rows_pad=u_pad,

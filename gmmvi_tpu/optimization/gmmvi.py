@@ -92,6 +92,7 @@ class GMMVI:
         trust_region_search: str = "bracket",
         trust_region_grid_size: int = 32,
         compact_target_eval: str = "auto",
+        shard_local_buckets: bool = False,
     ):
         self.target_distribution = target_distribution
         self.state = initial_state
@@ -119,6 +120,14 @@ class GMMVI:
         self.trust_region_search = trust_region_search
         self.trust_region_grid_size = int(trust_region_grid_size)
         self._steps_to_capacity_check = 1
+        # >1: the bucketed target eval compacts per device shard (sharded
+        # DB layout — a global argsort compaction would all-gather the batch)
+        self._bucket_shards = 1
+        if shard_local_buckets:
+            if mesh is None or "data" not in mesh.axis_names:
+                raise ValueError(
+                    "shard_local_buckets requires a mesh with a 'data' axis")
+            self._bucket_shards = int(mesh.shape["data"])
 
         self.requires_gradients = estimator_type == "Stein"
 
@@ -160,10 +169,14 @@ class GMMVI:
 
     def _make_eval_buckets(self, kmax: int):
         """Power-of-two ladder of target-eval sizes, [~batch/64, batch];
-        None when the ladder degenerates (bucketing would not help)."""
-        batch = kmax * self.selector_cfg.desired_samples_per_component
+        None when the ladder degenerates (bucketing would not help).
+        Shard-local mode ladders over PER-DEVICE sizes (the bucket is picked
+        from the max per-shard valid count)."""
+        p = self._bucket_shards
+        batch = kmax * self.selector_cfg.desired_samples_per_component // p
+        floor = max(-(-kmax // p), batch // 64)
         ladder, sz = [], batch
-        while sz >= max(kmax, batch // 64) and sz > 0:
+        while sz >= floor and sz > 0:
             ladder.append(sz)
             sz //= 2
         buckets = tuple(sorted(set(ladder)))
@@ -212,6 +225,8 @@ class GMMVI:
         """
         if self._eval_buckets is None:
             return self._eval_target(samples)
+        if self._bucket_shards > 1:
+            return self._eval_target_bucketed_shardlocal(samples, valid)
         b, d = samples.shape
         order = jnp.argsort(jnp.logical_not(valid), stable=True)
         n_valid = jnp.sum(valid.astype(jnp.int32))
@@ -232,6 +247,72 @@ class GMMVI:
 
         buckets = jnp.asarray(self._eval_buckets, jnp.int32)
         idx = jnp.searchsorted(buckets, n_valid, side="left")
+        idx = jnp.minimum(idx, len(self._eval_buckets) - 1)
+        return jax.lax.switch(
+            idx, [make_branch(s) for s in self._eval_buckets], None
+        )
+
+    def _eval_target_bucketed_shardlocal(self, samples: jnp.ndarray,
+                                         valid: jnp.ndarray):
+        """Shard-local bucketed target evaluation (sharded DB layout).
+
+        Each device compacts ITS slice of the proposal batch under
+        ``shard_map`` (a global argsort compaction would re-introduce the
+        batch all-gathers the sharded layout exists to remove); the bucket
+        is the smallest ladder size holding the MAX per-shard valid count
+        (one scalar all-reduce).  Per-device valid counts are unbalanced
+        (proposal rows block-shard by component slot), so the reduction is
+        bounded by the busiest shard — still ~2x the valid rows in steady
+        state.  (The reference evaluates exactly the drawn samples,
+        sample_selector.py:199-204.)"""
+        from jax import shard_map
+
+        mesh = self.mesh
+        P = jax.sharding.PartitionSpec
+        p = self._bucket_shards
+        b, d = samples.shape
+        b_l = b // p
+        s2 = self._shard_batch(samples.reshape(p, b_l, d))
+        v2 = self._shard_batch(valid.reshape(p, b_l))
+
+        def compact_body(s_loc, v_loc):
+            order = jnp.argsort(jnp.logical_not(v_loc), axis=1, stable=True)
+            dev = jnp.arange(s_loc.shape[0])[:, None]
+            return s_loc[dev, order], order, jnp.sum(
+                v_loc.astype(jnp.int32), axis=1)
+
+        sorted_s, order, n_valid_p = shard_map(
+            compact_body, mesh=mesh, in_specs=(P("data"), P("data")),
+            out_specs=P("data"), check_vma=False,
+        )(s2, v2)
+        n_max = jnp.max(n_valid_p)
+
+        def scatter_body(ld_loc, g_loc, order_loc):
+            pl_, size = ld_loc.shape
+            dev = jnp.arange(pl_)[:, None]
+            rows = order_loc[:, :size]
+            ld_full = jnp.zeros((pl_, b_l), jnp.float32).at[dev, rows].set(
+                ld_loc)
+            g_full = jnp.zeros((pl_, b_l, d), jnp.float32).at[dev, rows].set(
+                g_loc)
+            return ld_full, g_full
+
+        def make_branch(size):
+            def branch(_):
+                flat = self._shard_batch(
+                    sorted_s[:, :size].reshape(p * size, d))
+                ld, g = self._eval_target(flat)
+                ld_full, g_full = shard_map(
+                    scatter_body, mesh=mesh,
+                    in_specs=(P("data"), P("data"), P("data")),
+                    out_specs=P("data"), check_vma=False,
+                )(ld.astype(jnp.float32).reshape(p, size),
+                  g.astype(jnp.float32).reshape(p, size, d), order)
+                return ld_full.reshape(b), g_full.reshape(b, d)
+            return branch
+
+        buckets = jnp.asarray(self._eval_buckets, jnp.int32)
+        idx = jnp.searchsorted(buckets, n_max, side="left")
         idx = jnp.minimum(idx, len(self._eval_buckets) - 1)
         return jax.lax.switch(
             idx, [make_branch(s) for s in self._eval_buckets], None
@@ -484,18 +565,21 @@ class GMMVI:
         if hasattr(self, "_multi_step_cache"):
             self._multi_step_cache.clear()
 
-    def _maybe_grow(self) -> None:
-        """Auto-repad: when VIPS has filled the padding but its configured
-        ``max_components`` still has headroom, grow (loudly) instead of
-        letting ``add_component`` silently no-op."""
+    def _has_growth_headroom(self) -> bool:
+        cfg = self.vips_cfg
+        return (cfg is not None
+                and self.state.model.max_components < cfg.max_components)
+
+    def _grow_if_full(self) -> None:
+        """Unconditional capacity check: if VIPS has filled the padding but
+        its configured ``max_components`` still has headroom, grow (loudly)
+        instead of letting ``add_component`` silently no-op.  Forces a host
+        sync of ``num_active`` — callers gate on :meth:`_has_growth_headroom`
+        first."""
+        if not self._has_growth_headroom():
+            return
         cfg = self.vips_cfg
         kmax = self.state.model.max_components
-        if cfg is None or kmax >= cfg.max_components:
-            return
-        self._steps_to_capacity_check -= 1
-        if self._steps_to_capacity_check > 0:
-            return
-        self._steps_to_capacity_check = max(1, cfg.add_iters)
         if int(self.state.model.num_active) >= kmax:
             import warnings
 
@@ -507,6 +591,18 @@ class GMMVI:
                 "recompile. Set tpu.max_components to preallocate."
             )
             self.grow_capacity(new_kmax)
+
+    def _maybe_grow(self) -> None:
+        """Rate-limited auto-repad for per-iteration stepping: checks every
+        ``add_iters`` calls, which (with adds spaced ``add_iters`` apart)
+        guarantees exactly one check between consecutive add events."""
+        if not self._has_growth_headroom():
+            return
+        self._steps_to_capacity_check -= 1
+        if self._steps_to_capacity_check > 0:
+            return
+        self._steps_to_capacity_check = max(1, self.vips_cfg.add_iters)
+        self._grow_if_full()
 
     # ------------------------------------------------------------------
     # Public API
@@ -567,9 +663,28 @@ class GMMVI:
             for _ in range(n):
                 self.train_iter()
             return
-        # capacity checks happen between scans (adds inside the scan no-op
-        # once full; the next call grows and adding resumes)
-        self._maybe_grow()
+        # While VIPS still has growth headroom, chunk the scan at add_iters
+        # boundaries with a capacity check between chunks: adds are spaced
+        # add_iters apart, so each chunk holds at most one add event and the
+        # check before it grows the padding first — train_iters(n) then
+        # matches n x train_iter() across repad boundaries (the reference
+        # grows unboundedly, gmm_wrapper.py:90-127).  Fully preallocated runs
+        # (tpu.max_components == adapter max_components, or fixed adaptation)
+        # keep the single n-step dispatch.
+        self._grow_if_full()
+        done = 0
+        while done < n:
+            if self._has_growth_headroom():
+                block = min(max(1, self.vips_cfg.add_iters), n - done)
+            else:
+                block = n - done
+            self._scan_steps(block)
+            done += block
+            if done < n:
+                self._grow_if_full()
+
+    def _scan_steps(self, n: int) -> None:
+        """One device dispatch of ``n`` compiled steps via ``lax.scan``."""
         fn = self._multi_step_cache.get(n)
         if fn is None:
             def multi(state):
@@ -679,8 +794,35 @@ class GMMVI:
         if vips_cfg is not None and vips_cfg.num_database_samples > reservoir:
             vips_cfg = vips_cfg._replace(num_database_samples=reservoir)
         keep_samples = bool(config.get("use_sample_database", True))
-        db_layout = str(tpu_cfg.get("db_layout", "global"))
+        db_layout = str(tpu_cfg.get("db_layout", "auto"))
         db_eviction = str(tpu_cfg.get("db_eviction", "ring"))
+        if db_layout == "auto":
+            # The sharded layout removes the batch-sized ring-write
+            # all-gathers — the only batch-sized collectives left in the
+            # data-parallel step (2.53 -> 0.83 MB/step at the flagship
+            # shape) — so it is the default wherever its preconditions
+            # hold.  Explicit "global"/"sharded" always wins.
+            db_layout = "global"
+            if mesh is not None and "data" in mesh.axis_names:
+                n_sh = int(mesh.shape["data"])
+                batch = (kmax * n_des if sel_type == "component-based"
+                         else n_des)
+                if db_eviction == "decimate":
+                    reason = ("tpu.db_eviction: decimate is a global store "
+                              "by definition")
+                elif batch % n_sh:
+                    reason = (f"the proposal batch ({batch}) is not "
+                              f"divisible by the data-axis size ({n_sh})")
+                else:
+                    reason = None
+                if reason is None:
+                    db_layout = "sharded"
+                else:
+                    import warnings
+
+                    warnings.warn(
+                        "tpu.db_layout: auto falls back to the global ring "
+                        f"(per-step batch all-gathers) — {reason}")
         if db_layout == "sharded":
             # per-device ring shards: eliminates the batch-sized ring-write
             # all-gathers of the data-parallel step (see
@@ -784,12 +926,10 @@ class GMMVI:
         est_cfg.pop("initial_l2_regularizer", None)
 
         compact = str(tpu_cfg.get("compact_target_eval", "auto"))
-        if db_layout == "sharded" and compact == "auto":
-            # the bucketed eval's global argsort-compaction scatter would
-            # all-gather the batch — the very traffic the sharded DB layout
-            # exists to remove.  Explicit "on" still wins if the target is
-            # expensive enough to be worth the gathers.
-            compact = "off"
+        # under the sharded layout, compaction runs SHARD-LOCALLY (each
+        # device compacts its own slice under shard_map; bucket size from
+        # an all-reduced scalar max) so bucketing no longer re-introduces
+        # the batch gathers that previously forced it off here
 
         return GMMVI(
             target_distribution=target_distribution,
@@ -814,4 +954,5 @@ class GMMVI:
             trust_region_grid_size=int(tpu_cfg.get("trust_region_grid_size",
                                                    32)),
             compact_target_eval=compact,
+            shard_local_buckets=(db_layout == "sharded"),
         )

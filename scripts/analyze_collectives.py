@@ -63,7 +63,7 @@ def main():
                     ("data", "comp"))
     else:
         mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(8), ("data",))
-    tpu_extra = {"db_layout": "sharded"} if sharded_db else None
+    tpu_extra = {"db_layout": "sharded" if sharded_db else "global"}
     g = _build_gmmvi(num_dimensions=20, n_des=200, kmax=48, k0=45, mesh=mesh,
                      tpu_extra=tpu_extra)
     # _spmd_scoped sets the kernel gate/mesh during tracing exactly like

@@ -75,7 +75,8 @@ def make_stm_params(d, seed=0):
     return stm  # holds weights/means/covs + JAX log_density
 
 
-def algorithm_config(n_des, kmax, codename="SAMTRON", diagonal=False):
+def algorithm_config(n_des, kmax, codename="SAMTRON", diagonal=False,
+                     extra_overrides=None):
     """Shared config dict for both sides: the package's default module
     configs for ``codename`` (same YAMLs the reference ships), with the
     small-run experiment overrides of the original SAMTRON harness."""
@@ -104,11 +105,14 @@ def algorithm_config(n_des, kmax, codename="SAMTRON", diagonal=False):
             "min_weight_for_del_heuristic": 1e-6,
             "num_database_samples": 1024, "num_prior_samples": 0,
         }
-    return update_config(cfg, overrides)
+    cfg = update_config(cfg, overrides)
+    if extra_overrides:
+        cfg = update_config(cfg, extra_overrides)
+    return cfg
 
 
 def run_reference(stm, iters, n_des, kmax, seed=0, k0=8, codename="SAMTRON",
-                  diagonal=False):
+                  diagonal=False, extra_overrides=None):
     import tensorflow as tf
 
     tf.config.set_visible_devices([], "GPU")
@@ -173,7 +177,8 @@ def run_reference(stm, iters, n_des, kmax, seed=0, k0=8, codename="SAMTRON",
                         (k0, 1, 1))
         model = FullCovGMM(tf.constant(w0), tf.constant(mu0),
                            tf.constant(covs0))
-    cfg = algorithm_config(n_des, kmax, codename=codename, diagonal=diagonal)
+    cfg = algorithm_config(n_des, kmax, codename=codename, diagonal=diagonal,
+                           extra_overrides=extra_overrides)
     wrapped = GmmWrapper.build_from_config(model=model, config=cfg)
     gmmvi = GMMVI.build_from_config(config=cfg, target_distribution=target,
                                     model=wrapped)
@@ -201,7 +206,7 @@ def run_reference(stm, iters, n_des, kmax, seed=0, k0=8, codename="SAMTRON",
 
 
 def run_ours(stm, iters, n_des, kmax, mu0, seed=0, codename="SAMTRON",
-             diagonal=False):
+             diagonal=False, extra_overrides=None):
     import jax
     import jax.numpy as jnp
 
@@ -220,7 +225,8 @@ def run_ours(stm, iters, n_des, kmax, mu0, seed=0, codename="SAMTRON",
     model = create_gmm_state(np.ones(k0, np.float32) / k0, mu0, covs0,
                              max_components=kmax, diagonal=diagonal)
     cfg = dict(algorithm_config(n_des, kmax, codename=codename,
-                                diagonal=diagonal))
+                                diagonal=diagonal,
+                                extra_overrides=extra_overrides))
     cfg["seed"] = seed
     cfg["tpu"] = {"max_components": kmax}
     meta = M.create_meta_state(

@@ -211,6 +211,75 @@ def test_auto_repad_grows_past_initial_padding():
     np.testing.assert_allclose(np.exp(lw).sum(), 1.0, rtol=1e-5)
 
 
+def test_train_iters_matches_train_iter_across_repad():
+    """Batched stepping must not silently defer adaptation: train_iters(n)
+    chunks its lax.scan at add_iters boundaries while growth headroom exists,
+    so its trajectory matches n x train_iter() exactly even when VIPS fills
+    the static padding mid-run (the reference grows its variables unboundedly,
+    gmm_wrapper.py:90-127, so batched and single stepping cannot diverge
+    there)."""
+    import warnings
+
+    from gmmvi_tpu.experiments.targets.gmm import make_star_target
+    from gmmvi_tpu.experiments.setup import init_experiment
+    from gmmvi_tpu.optimization.gmmvi import GMMVI
+    from gmmvi_tpu.configs import get_default_algorithm_config, update_config
+
+    target = make_star_target(num_components=5)
+    cfg = get_default_algorithm_config("SAMTRON")
+    cfg = update_config(cfg, {
+        "start_seed": 0, "seed": 0, "target_fn": target,
+        "environment_name": "star",
+        "model_initialization": {
+            "use_diagonal_covs": False, "num_initial_components": 2,
+            "prior_mean": 0.0, "prior_scale": 3.0, "initial_cov": 1.0,
+        },
+        "use_sample_database": True, "max_database_size": 100000,
+        "temperature": 1.0,
+        "sample_selector_config": {
+            "desired_samples_per_component": 16,
+            "ratio_reused_samples_to_desired": 1.0,
+        },
+        "num_component_adapter_config": {
+            "del_iters": 100, "add_iters": 2, "max_components": 12,
+            "thresholds_for_add_heuristic": [100.0],
+            "min_weight_for_del_heuristic": 1e-6,
+            "num_database_samples": 128, "num_prior_samples": 0,
+        },
+        "gmmvi_runner_config": {"log_metrics_interval": 100},
+        "tpu": {"max_components": 4},   # deliberately too small
+    })
+
+    def build():
+        t, model, meta = init_experiment(cfg)
+        return GMMVI.build_from_config(cfg, target, model, meta)
+
+    n = 30
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        g_single = build()
+        for _ in range(n):
+            g_single.train_iter()
+        g_batched = build()
+        g_batched.train_iters(13)   # odd split to misalign chunk boundaries
+        g_batched.train_iters(n - 13)
+
+    # both must have grown past the initial padding of 4
+    assert int(g_single.state.model.num_active) > 4
+    assert int(g_batched.state.model.num_active) == \
+        int(g_single.state.model.num_active)
+    assert int(g_batched.state.db.num_samples_written) == \
+        int(g_single.state.db.num_samples_written)
+    k = int(g_single.state.model.num_active)
+    np.testing.assert_allclose(
+        np.asarray(g_batched.state.model.means)[:k],
+        np.asarray(g_single.state.model.means)[:k], rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(g_batched.state.model.log_weights)[:k],
+        np.asarray(g_single.state.model.log_weights)[:k],
+        rtol=1e-5, atol=1e-5)
+
+
 def test_repad_db_preserves_window():
     """repad_db must preserve get_newest_samples semantics exactly."""
     import jax

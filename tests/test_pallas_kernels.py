@@ -100,12 +100,13 @@ def test_fused_density_pack_matches_xla():
 
 
 @pytest.mark.parametrize("u,d,n", [(7, 5, 600), (70, 60, 520),
-                                   (40, 300, 640)])
+                                   (40, 300, 640), (12, 450, 384)])
 def test_fused_background_logpdf_matches_xla(u, d, n):
     """The streaming (U-tiled, online-logsumexp) background kernel matches
     the XLA chain, including masked dists and multiple U tiles (the second
     case spans 3 tiles at u_tile=32; the third exercises the large-D
-    (u_tile, n_tile) budget path at D=300)."""
+    (u_tile, n_tile) budget path at D=300; the fourth the D>360 route
+    through the K-tiled density stream, where u_tile drops to 4)."""
     from gmmvi_tpu.ops.pallas_density import fused_background_logpdf
 
     rng = np.random.RandomState(0)

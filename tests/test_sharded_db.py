@@ -28,10 +28,10 @@ def _mesh():
     return Mesh(np.asarray(jax.devices()[:8]).reshape(8), ("data",))
 
 
-def _build(mesh, db_layout=None, seed=3, num_db_samples=128):
+def _build(mesh, db_layout=None, seed=3, num_db_samples=128, tpu_extra=None):
     target = make_simple_target()
     cfg = get_default_algorithm_config("SAMTRON")
-    tpu = {"max_components": 8}
+    tpu = {"max_components": 8, **(tpu_extra or {})}
     if db_layout:
         tpu["db_layout"] = db_layout
     cfg = update_config(cfg, {
@@ -140,7 +140,7 @@ def test_full_step_sharded_db_matches_early_and_converges():
     """Exact feval parity while trajectories coincide, then statistical
     convergence parity (summation-order noise flips trust-region bisection
     thresholds after a few iterations — documented chaos, not drift)."""
-    _, rep = _build(_mesh(), db_layout=None)
+    _, rep = _build(_mesh(), db_layout="global")
     _, sh = _build(_mesh(), db_layout="sharded")
     for _ in range(2):
         rep.train_iter()
@@ -198,6 +198,78 @@ def test_sharded_db_step_has_no_batch_sized_collectives():
         if nbytes >= batch_bytes:
             offenders.append((nbytes, s[:120]))
     assert not offenders, offenders
+
+
+@requires_multidevice
+def test_sharded_db_auto_selected_on_meshes():
+    """tpu.db_layout defaults to "auto": sharded on a data mesh when the
+    divisibility precondition holds, the global ring otherwise (VERDICT r3
+    item 4 — the fast path must be on by default)."""
+    import warnings
+
+    _, g = _build(_mesh(), db_layout=None)
+    assert isinstance(g.state.db, shd.ShardedSampleDbState)
+    # shard-local bucketed target eval comes with it (reuse ratio 1.0)
+    assert g._bucket_shards == 8 and g._eval_buckets is not None
+
+    _, g0 = _build(None, db_layout=None)
+    assert not isinstance(g0.state.db, shd.ShardedSampleDbState)
+
+    # non-divisible batch: Kmax * n_des = 6 * 15 = 90, 90 % 8 != 0
+    # -> loud fallback to the global ring
+    target = make_simple_target()
+    cfg = get_default_algorithm_config("SAMTRON")
+    cfg = update_config(cfg, {
+        "start_seed": 0, "seed": 0, "target_fn": target,
+        "environment_name": "test",
+        "model_initialization": {
+            "use_diagonal_covs": False, "num_initial_components": 3,
+            "prior_mean": 0.0, "prior_scale": 3.0, "initial_cov": 4.0,
+        },
+        "use_sample_database": True, "max_database_size": 100000,
+        "temperature": 1.0,
+        "sample_selector_config": {"desired_samples_per_component": 15,
+                                   "ratio_reused_samples_to_desired": 1.0},
+        "num_component_adapter_config": {
+            "del_iters": 8, "add_iters": 5, "max_components": 6,
+            "thresholds_for_add_heuristic": [500.0],
+            "min_weight_for_del_heuristic": 1e-6,
+            "num_database_samples": 64, "num_prior_samples": 0,
+        },
+        "gmmvi_runner_config": {"log_metrics_interval": 100},
+        "tpu": {"max_components": 6},
+    })
+    t, model, meta = init_experiment(cfg)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        g_fb = GMMVI.build_from_config(cfg, t, model, meta, mesh=_mesh())
+    assert not isinstance(g_fb.state.db, shd.ShardedSampleDbState)
+    assert any("falls back to the global ring" in str(w.message)
+               for w in caught)
+
+
+@requires_multidevice
+def test_shard_local_bucketed_eval_matches_unbucketed():
+    """The shard-local compaction + bucket ladder changes WHICH rows the
+    target evaluates (only ~valid ones) but not any value a downstream
+    consumer reads: trajectories with compact_target_eval on/off must
+    coincide."""
+    _, on = _build(_mesh(), db_layout="sharded")
+    assert on._bucket_shards == 8 and on._eval_buckets is not None
+    _, off = _build(_mesh(), db_layout="sharded",
+                    tpu_extra={"compact_target_eval": "off"})
+    assert off._eval_buckets is None
+    for _ in range(4):
+        on.train_iter()
+        off.train_iter()
+    np.testing.assert_allclose(
+        np.asarray(on.state.model.means), np.asarray(off.state.model.means),
+        rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(on.state.model.log_weights),
+        np.asarray(off.state.model.log_weights), rtol=1e-5, atol=1e-5)
+    assert int(on.state.db.num_samples_written) == int(
+        off.state.db.num_samples_written)
 
 
 @requires_multidevice

@@ -88,7 +88,11 @@ def _build(mesh, seed=3, codename="SAMTRON"):
             "num_database_samples": 128, "num_prior_samples": 0,
         },
         "gmmvi_runner_config": {"log_metrics_interval": 100},
-        "tpu": {"max_components": 8},
+        # explicit global ring: these tests assert bit-level trajectory
+        # equality sharded-vs-replicated, which needs the SAME (global) DB
+        # semantics on both sides (the mesh default is the sharded layout,
+        # whose reuse window deviates at iteration granularity)
+        "tpu": {"max_components": 8, "db_layout": "global"},
     })
     t, model, meta = init_experiment(cfg)
     return target, GMMVI.build_from_config(cfg, target, model, meta, mesh=mesh)
