@@ -806,6 +806,17 @@ def trust_region_update(
             return _trust_region_update_pallas(
                 model, meta, hessians_neg, grads_neg, stepsizes,
                 temperature, interpret=(mode == "interpret"))
+        # D > 64 keeps the XLA bracket.  Three kernel designs for the
+        # large-D trip were built and measured in round 4 (RESULTS_r04 §TR):
+        # a monolithic unrolled blocked factorization (Mosaic compile did
+        # not finish in 30 min at D=384), a roll/prefix-sum variant (this
+        # Mosaic version crashes or miscompiles lane-1 broadcasts and
+        # sub-(8,128) stores), and a hybrid 64-block Pallas + XLA-einsum
+        # driver (compiled, but 24 ms/trip — 5x the XLA bracket's 4.9 —
+        # and miscompiled to zeros on-device).  A speculative multi-eta
+        # wave breaks even exactly (batched-Cholesky time is sublinear in
+        # batch but not flat), and lax.linalg.tridiagonal has no TPU
+        # lowering.  See TODO.md "Performance".
     upd = jax.vmap(
         partial(_tr_update_one, temperature=temperature,
                 diagonal=model.diagonal, search=search, grid_size=grid_size)

@@ -122,6 +122,40 @@ def create_sample_db(
     )
 
 
+def _compact_valid_rows(arrs, valid):
+    """Stable compaction of the valid rows to the front of each array in
+    ``arrs`` (invalid tail rows are left stale), WITHOUT a row gather.
+
+    A `x[argsort(~valid)]` gather lowers to a sequential per-row loop on
+    TPU.  Instead, each valid row must move up by ``shift = index - dest``
+    (non-decreasing across valid rows), which decomposes into log2(B)
+    fixed-distance shift passes: at pass ``bit``, position ``i`` takes the
+    row from ``i + bit`` iff that row still has ``bit`` of its shift left.
+    Distinct valid rows never collide (shifts are non-decreasing), vacated
+    slots are marked done so they never move again, and every pass is a
+    static-slice blend — pure dense traffic."""
+    b = valid.shape[0]
+    validf = valid.astype(jnp.int32)
+    dest = jnp.cumsum(validf) - 1
+    rem = jnp.where(valid, jnp.arange(b) - dest, 0)
+    out = list(arrs)
+    bit = 1
+    while bit < b:
+        rem_ahead = jnp.concatenate(
+            [rem[bit:], jnp.zeros((bit,), rem.dtype)])
+        moving_in = (rem_ahead & bit) != 0                    # [b]
+        vacated = jnp.logical_and((rem & bit) != 0, ~moving_in)
+        for i, a in enumerate(out):
+            ahead = jnp.concatenate(
+                [a[bit:], jnp.zeros((bit,) + a.shape[1:], a.dtype)], axis=0)
+            sel = moving_in.reshape((b,) + (1,) * (a.ndim - 1))
+            out[i] = jnp.where(sel, ahead, a)
+        rem = jnp.where(moving_in, rem_ahead - bit,
+                        jnp.where(vacated, 0, rem))
+        bit <<= 1
+    return tuple(out)
+
+
 def add_samples(
     db,
     iteration: jnp.ndarray,
@@ -156,21 +190,32 @@ def add_samples(
     b = samples.shape[0]
     validf = valid.astype(jnp.int32)
     n_valid = jnp.sum(validf)
-    # compact positions for valid entries
-    offsets = jnp.cumsum(validf) - 1
-    pos = db.write_pos + offsets
-    ring_idx = jnp.where(valid, pos % s, s)  # s = out-of-bounds -> dropped
+
+    # Dense ring write: compact the valid rows to the batch front (log-shift
+    # passes — a row scatter/gather lowers to a sequential per-row loop on
+    # TPU, ~2 us/row), then splice the head into the circular range
+    # [write_pos, write_pos + n_valid) with rotate + one dynamic update.
+    iters_b = jnp.full((b,), iteration, jnp.int32)
+    comp_b, lnp_b, grad_b, it_b, smp_b = _compact_valid_rows(
+        (mapping.astype(jnp.int32), target_lnpdfs, target_grads, iters_b,
+         samples), valid)
+    row_idx = jnp.arange(b)
+
+    def splice(ring, head):
+        rot = _ring_range(ring, db.write_pos, s)
+        keep = jax.lax.dynamic_slice_in_dim(rot, 0, b, 0)
+        sel = (row_idx < n_valid)
+        sel = sel.reshape((b,) + (1,) * (head.ndim - 1))
+        rot = jax.lax.dynamic_update_slice_in_dim(
+            rot, jnp.where(sel, head.astype(ring.dtype), keep), 0, 0)
+        return _ring_range(rot, -db.write_pos, s)
 
     new_db = db.replace(
-        samples=db.samples.at[ring_idx].set(samples, mode="drop"),
-        target_lnpdfs=db.target_lnpdfs.at[ring_idx].set(target_lnpdfs, mode="drop"),
-        target_grads=db.target_grads.at[ring_idx].set(target_grads, mode="drop"),
-        sample_iter=db.sample_iter.at[ring_idx].set(
-            jnp.full((b,), iteration, jnp.int32), mode="drop"
-        ),
-        sample_comp=db.sample_comp.at[ring_idx].set(
-            mapping.astype(jnp.int32), mode="drop"
-        ),
+        samples=splice(db.samples, smp_b),
+        target_lnpdfs=splice(db.target_lnpdfs, lnp_b),
+        target_grads=splice(db.target_grads, grad_b),
+        sample_iter=splice(db.sample_iter, it_b),
+        sample_comp=splice(db.sample_comp, comp_b),
         write_pos=db.write_pos + n_valid,
         num_samples_written=db.num_samples_written + n_valid,
     )
@@ -193,10 +238,25 @@ def add_samples(
     slots = jnp.where(item_no <= c, fill_slots, rand_slots)
     accept_p = jnp.minimum(1.0, c / jnp.maximum(item_no.astype(jnp.float32), 1.0))
     accept = jnp.logical_and(valid, jax.random.uniform(acc_key, (b,)) < accept_p)
-    res_idx = jnp.where(accept, slots, c)
+    # Dense last-wins replacement (a [B]->[C] row scatter is a sequential
+    # per-row loop on TPU): per slot, pick the LAST accepted batch row via a
+    # masked argmax, then pull the rows with one [C, B] one-hot matmul.
+    # (Scatter with duplicate indices applies writes in order on TPU, so
+    # last-wins matches the previous behavior — and is deterministic here.)
+    slot_of = jnp.where(accept, slots, -1)
+    hits = slot_of[None, :] == jnp.arange(c)[:, None]          # [C, B]
+    found = jnp.any(hits, axis=1)
+    last = jnp.argmax(
+        jnp.where(hits, jnp.arange(b)[None, :], -1), axis=1)   # [C]
+    onehot = (jnp.arange(b)[None, :] == last[:, None]) & found[:, None]
+    onehot_f = onehot.astype(jnp.float32)
+    new_rows = jnp.einsum("cb,bd->cd", onehot_f, samples,
+                          precision=jax.lax.Precision.HIGHEST)
+    new_lnp = jnp.einsum("cb,b->c", onehot_f, target_lnpdfs,
+                         precision=jax.lax.Precision.HIGHEST)
     new_db = new_db.replace(
-        res_samples=new_db.res_samples.at[res_idx].set(samples, mode="drop"),
-        res_lnpdfs=new_db.res_lnpdfs.at[res_idx].set(target_lnpdfs, mode="drop"),
+        res_samples=jnp.where(found[:, None], new_rows, new_db.res_samples),
+        res_lnpdfs=jnp.where(found, new_lnp, new_db.res_lnpdfs),
         res_count=db.res_count + n_valid,
     )
     return new_db
@@ -330,6 +390,20 @@ def _background_logsumexp(db, means_u, inv_u, log_dets_u, log_w, sel_mask,
     )
 
 
+def _ring_range(x: jnp.ndarray, start: jnp.ndarray, length: int):
+    """``x[(start + arange(length)) % s]`` as dense slices.
+
+    A mod-indexed row gather lowers to a sequential per-row loop on TPU
+    (measured ~2 us/row: ~25 ms for a [12000, 300] window at the stm300
+    shape); the circular range is two contiguous slices, taken here as one
+    dynamic slice of the doubled array (3x ring bytes of straight-line
+    copies — ~60 us at the same shape)."""
+    s = x.shape[0]
+    start = jnp.asarray(start) % s
+    doubled = jnp.concatenate([x, x], axis=0)
+    return jax.lax.dynamic_slice_in_dim(doubled, start, length, 0)
+
+
 def _gather_window(db: SampleDbState, window: int, n_requested: jnp.ndarray):
     """Newest-window gather (oldest first, like the reference's tail slice).
 
@@ -342,12 +416,12 @@ def _gather_window(db: SampleDbState, window: int, n_requested: jnp.ndarray):
     pos = db.write_pos - w + jnp.arange(w)
     in_range = jnp.logical_and(pos >= 0, pos >= db.write_pos - n_requested)
     in_range = jnp.logical_and(in_range, pos >= db.write_pos - s)
-    idx = pos % s
-    samples = db.samples[idx]
-    lnpdfs = db.target_lnpdfs[idx]
-    grads = db.target_grads[idx]
-    comp = db.sample_comp[idx]
-    it = db.sample_iter[idx]
+    start = db.write_pos - w
+    samples = _ring_range(db.samples, start, w)
+    lnpdfs = _ring_range(db.target_lnpdfs, start, w)
+    grads = _ring_range(db.target_grads, start, w)
+    comp = _ring_range(db.sample_comp, start, w)
+    it = _ring_range(db.sample_iter, start, w)
 
     # distribution freshness: the ring row for this sample's iteration must
     # still hold that iteration
