@@ -54,6 +54,12 @@ _N_TILE = 512
 # VMEM guard: the [K_pad*D, T] whitened intermediate(s) must stay comfortably
 # inside ~16 MB of VMEM; 2048 rows * 512 lanes * 4 B = 4 MB per intermediate.
 _MAX_KD = 2048
+# The streaming kernels keep full-width [8, N_pad] online-logsumexp
+# accumulators in VMEM scratch; past this many samples (2 x 64 B/column =
+# 4 MB of scratch) the dispatchers chunk the sample axis instead (columns
+# are independent) — a fully-preallocated stm20 window (~200k samples)
+# measured a 21 MB scoped-VMEM overflow otherwise.
+_N_CHUNK = 65536
 
 try:
     from jax.experimental import pallas as pl
@@ -350,6 +356,13 @@ def fused_background_logpdf(means, inv_chols, log_weights, log_dets, samples,
         raise RuntimeError("pallas unavailable")
     if not supports_background(d):
         raise ValueError("fused background kernel: D out of envelope")
+    if n > _N_CHUNK:
+        return jnp.concatenate([
+            fused_background_logpdf(means, inv_chols, log_weights, log_dets,
+                                    samples[i:i + _N_CHUNK],
+                                    interpret=interpret)
+            for i in range(0, n, _N_CHUNK)
+        ])
     if d <= 128:
         # budget both the [u_tile*d, T] whitened intermediate and the
         # [u_tile, T] logit tile (at small D the latter dominates;

@@ -267,6 +267,15 @@ def fused_component_densities_large(means, inv_chols, log_weights, log_dets,
     streamed over K-tiles; supports D up to 512 with no K bound."""
     k, d = means.shape
     n = samples.shape[0]
+    if n > _pd._N_CHUNK:
+        parts = [
+            fused_component_densities_large(
+                means, inv_chols, log_weights, log_dets,
+                samples[i:i + _pd._N_CHUNK], interpret=interpret)
+            for i in range(0, n, _pd._N_CHUNK)
+        ]
+        return (jnp.concatenate([p[0] for p in parts], axis=1),
+                jnp.concatenate([p[1] for p in parts]))
     (w1, b1, _, _, logdet3, logw3, x, ktile, t, _, _) = _prepare(
         means, inv_chols, log_weights, log_dets, samples, need_w2=False)
     comp3, model = _densities_call(w1, b1, logdet3, logw3, x, d=d,
@@ -280,6 +289,16 @@ def fused_density_pack_large(means, inv_chols, log_weights, log_dets,
     grads [N, D]); two streamed passes sharing the packed inputs."""
     k, d = means.shape
     n = samples.shape[0]
+    if n > _pd._N_CHUNK:
+        parts = [
+            fused_density_pack_large(
+                means, inv_chols, log_weights, log_dets,
+                samples[i:i + _pd._N_CHUNK], interpret=interpret)
+            for i in range(0, n, _pd._N_CHUNK)
+        ]
+        return (jnp.concatenate([p[0] for p in parts], axis=1),
+                jnp.concatenate([p[1] for p in parts]),
+                jnp.concatenate([p[2] for p in parts], axis=0))
     (w1, b1, w2, b2, logdet3, logw3, x, ktile, t, _, _) = _prepare(
         means, inv_chols, log_weights, log_dets, samples, need_w2=True)
     comp3, model = _densities_call(w1, b1, logdet3, logw3, x, d=d,

@@ -113,8 +113,20 @@ def step_model(g, codename: str) -> dict:
                 batch=batch, window=w, k=k, d=d)
 
 
-def run_workload(codename: str, experiment: str, iters: int) -> dict:
+def run_workload(codename: str, experiment: str, iters: int,
+                 kmax_pin: int = 64) -> dict:
+    from gmmvi_tpu.configs import update_config
+
     cfg = get_default_config(codename, experiment)
+    if cfg.get("num_component_adapter_type") == "adaptive":
+        # pin the component capacity for the bench: the stm default adapter
+        # cap is 1000 (padding everything to 1000 measures a different
+        # workload), and un-pinned runs auto-repad mid-block, putting a
+        # recompile inside the timed region.  The pins match the shapes the
+        # per-workload tables have always reported (stm300: K_pad=40).
+        cfg = update_config(cfg, {
+            "num_component_adapter_config": {"max_components": kmax_pin},
+            "tpu": {"max_components": kmax_pin}})
     target, model, meta = init_experiment(cfg)
     g = GMMVI.build_from_config(cfg, target, model, meta)
     g.train_iters(iters)
@@ -214,10 +226,11 @@ def main():
     quick = "--quick" in sys.argv
     iters = 10 if quick else 20
     rows = []
-    for codename, experiment in (("SAMTRON", "stm20"),
-                                 ("SAMTRON", "stm300"),
-                                 ("SEPYFUX", "stm300")):
-        rows.append(run_workload(codename, experiment, iters))
+    for codename, experiment, kmax_pin in (("SAMTRON", "stm20", 64),
+                                           ("SAMTRON", "stm300", 40),
+                                           ("SEPYFUX", "stm300", 40)):
+        rows.append(run_workload(codename, experiment, iters,
+                                 kmax_pin=kmax_pin))
         print(json.dumps(rows[-1]), flush=True)
     print(json.dumps(density_kernel_roofline()), flush=True)
 

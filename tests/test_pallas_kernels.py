@@ -137,6 +137,44 @@ def test_fused_background_logpdf_matches_xla(u, d, n):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=2e-4)
 
 
+def test_sample_axis_chunking_matches_unchunked():
+    """Past _N_CHUNK samples the dispatchers split the sample axis (the
+    streaming kernels' full-width [8, N_pad] online-logsumexp scratch
+    overflowed VMEM at a fully-preallocated stm20 window, ~200k samples).
+    Chunked and unchunked results must match exactly."""
+    from gmmvi_tpu.ops import pallas_density as pd
+    from gmmvi_tpu.ops import pallas_density_large as pdl
+
+    rng = np.random.RandomState(3)
+    u, d, n = 9, 150, 1500
+    means = rng.randn(u, d).astype(np.float32)
+    a = rng.randn(u, d, d).astype(np.float32) * 0.2
+    covs = np.einsum("uij,ulj->uil", a, a) + np.eye(d, dtype=np.float32)
+    chols = np.linalg.cholesky(covs).astype(np.float32)
+    inv_chols = np.stack([np.linalg.inv(c) for c in chols]).astype(np.float32)
+    log_dets = np.sum(np.log(np.diagonal(chols, axis1=-2, axis2=-1)),
+                      axis=-1).astype(np.float32)
+    log_w = np.log(rng.dirichlet(np.ones(u))).astype(np.float32)
+    x = (rng.randn(n, d) * 2).astype(np.float32)
+    args = (jnp.asarray(means), jnp.asarray(inv_chols), jnp.asarray(log_w),
+            jnp.asarray(log_dets), jnp.asarray(x))
+
+    want = pdl.fused_density_pack_large(*args, interpret=True)
+    want_bg = pd.fused_background_logpdf(*args, interpret=True)
+    old = pd._N_CHUNK
+    try:
+        pd._N_CHUNK = 512  # force 3 chunks
+        got = pdl.fused_density_pack_large(*args, interpret=True)
+        got_bg = pd.fused_background_logpdf(*args, interpret=True)
+    finally:
+        pd._N_CHUNK = old
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_bg), np.asarray(want_bg),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_background_logsumexp_dispatch_matches():
     """sample_db._background_logsumexp: interpret-kernel result matches the
     XLA fallback on the same inputs (the wiring used inside
