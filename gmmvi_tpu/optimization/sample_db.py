@@ -641,9 +641,28 @@ def get_newest_samples_fused(
         )
 
         means_u, inv_u, log_dets_u = _gather_dists(db, top_keys)
-        bg_old = _background_logsumexp(db, means_u, inv_u, log_dets_u,
-                                       log_w_old, sel_mask, samples,
-                                       shard_fn=shard_fn)
+        # Two-size ladder: top_k orders live dists first, and in steady
+        # state the reuse window spans few iterations, so the live OLD
+        # dists number ~(window_iters - 1) * K — often well under the
+        # padded cap (stm300: ~80 live vs u=160, i.e. half the streaming
+        # background pass was masked padding).  When every live dist fits
+        # in the first 2*Kmax rows, evaluate only those (exact: the
+        # remaining rows carry -inf weights).
+        u_small = min(2 * kmax, u)
+        def _bg(width):
+            def run(_):
+                return _background_logsumexp(
+                    db, means_u[:width], inv_u[:width], log_dets_u[:width],
+                    log_w_old[:width], sel_mask[:width], samples,
+                    shard_fn=shard_fn)
+            return run
+
+        if u_small < u:
+            n_live = jnp.sum(sel_mask.astype(jnp.int32))
+            bg_old = jax.lax.cond(n_live <= u_small, _bg(u_small), _bg(u),
+                                  None)
+        else:
+            bg_old = _bg(u)(None)
         bg_cur = masked_logsumexp(
             pack.component_log_densities + log_w_cur[:, None],
             mask=(counts_cur > 0)[:, None], axis=0,

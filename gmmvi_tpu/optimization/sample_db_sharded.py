@@ -499,9 +499,23 @@ def get_newest_samples_fused(
         )
 
         means_u, inv_u, log_dets_u = db_ops._gather_dists(db, top_keys)
-        bg_old = db_ops._background_logsumexp(db, means_u, inv_u, log_dets_u,
-                                              log_w_old, sel_mask, samples,
-                                              shard_fn=shard_fn)
+        # two-size ladder over live old dists (see sample_db for rationale)
+        u_small = min(2 * kmax, u)
+
+        def _bg(width):
+            def run(_):
+                return db_ops._background_logsumexp(
+                    db, means_u[:width], inv_u[:width], log_dets_u[:width],
+                    log_w_old[:width], sel_mask[:width], samples,
+                    shard_fn=shard_fn)
+            return run
+
+        if u_small < u:
+            n_live = jnp.sum(sel_mask.astype(jnp.int32))
+            bg_old = jax.lax.cond(n_live <= u_small, _bg(u_small), _bg(u),
+                                  None)
+        else:
+            bg_old = _bg(u)(None)
         bg_cur = masked_logsumexp(
             pack.component_log_densities + log_w_cur[:, None],
             mask=(counts_cur > 0)[:, None], axis=0,
