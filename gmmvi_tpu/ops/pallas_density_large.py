@@ -64,8 +64,19 @@ def _vmem_cost(d: int, ktile: int, t: int) -> int:
     return fixed + t * per_t
 
 
+_TILE_OVERRIDE = None  # (ktile, t) — experimentation hook for benchmarks
+
+
 def _pick_tiles(d: int):
-    """(ktile, t): components per K-tile and the N-tile length."""
+    """(ktile, t): components per K-tile and the N-tile length.
+
+    Prefers the candidate with the fewest grid steps per unit work
+    (largest ktile * t product that fits VMEM), tie-broken toward wider
+    N-tiles: grid-step overhead is the dominant loss at large D (RESULTS_r04
+    rooflines), and a wide tile amortizes it over more MXU work."""
+    if _TILE_OVERRIDE is not None:
+        return _TILE_OVERRIDE
+    best = None
     for ktile in (8, 4):
         if (ktile * d) % 8:
             continue
@@ -73,8 +84,11 @@ def _pick_tiles(d: int):
         while t > 128 and _vmem_cost(d, ktile, t) > _VMEM_BUDGET:
             t //= 2
         if _vmem_cost(d, ktile, t) <= _VMEM_BUDGET:
-            return ktile, t
-    return None
+            cand = (ktile, t)
+            if best is None or (cand[0] * cand[1], cand[1]) > (
+                    best[0] * best[1], best[1]):
+                best = cand
+    return best
 
 
 def supports(num_dimensions: int) -> bool:
@@ -84,8 +98,7 @@ def supports(num_dimensions: int) -> bool:
             and _pick_tiles(num_dimensions) is not None)
 
 
-def _density_kernel(w1_ref, b1_ref, logdet_ref, logw_ref, x_ref,
-                    comp_ref, model_ref, m_ref, s_ref, *, d, ktile, t):
+def _density_kernel(*refs, d, ktile, t, mm):
     """Grid step (j, i) = (K-tile, N-tile); K OUTER so each [ktile*D, D]
     whitening block stays resident across the whole N sweep (K inner would
     restream the full stacked-W matrix once per N-tile — ~1.4 GB/pass at
@@ -93,16 +106,26 @@ def _density_kernel(w1_ref, b1_ref, logdet_ref, logw_ref, x_ref,
     MXU-compute-bound, but residency scales better with window size).  The
     mixture-logsumexp accumulators live in full-width [8, N_pad] scratch,
     sliced per N-tile."""
+    if mm == "bf16x3":
+        (w1hi_ref, w1lo_ref, b1_ref, logdet_ref, logw_ref, xhi_ref,
+         xlo_ref, comp_ref, model_ref, m_ref, s_ref) = refs
+    else:
+        (w1_ref, b1_ref, logdet_ref, logw_ref, x_ref,
+         comp_ref, model_ref, m_ref, s_ref) = refs
     j = pl.program_id(0)
     i = pl.program_id(1)
     last = pl.num_programs(0) - 1
     col = pl.ds(i * t, t)
 
-    y = jax.lax.dot_general(
-        w1_ref[...], x_ref[...], (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    ) - b1_ref[...]                                      # [ktile*d, T]
+    if mm == "bf16x3":
+        y = _pd._dot3(w1hi_ref[...], w1lo_ref[...],
+                      xhi_ref[...], xlo_ref[...]) - b1_ref[...]
+    else:
+        y = jax.lax.dot_general(
+            w1_ref[...], x_ref[...], (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        ) - b1_ref[...]                                  # [ktile*d, T]
     maha = jnp.sum((y * y).reshape(ktile, d, t), axis=1)
     comp = -0.5 * maha - logdet_ref[0, :ktile] - 0.5 * d * LOG_2PI
     if ktile < 8:
@@ -138,18 +161,28 @@ def _density_kernel(w1_ref, b1_ref, logdet_ref, logw_ref, x_ref,
         )
 
 
-def _grad_kernel(w2_ref, b2_ref, logw_ref, comp_ref, model_ref, x_ref,
-                 grads_ref, acc_ref, *, d, ktile):
+def _grad_kernel(*refs, d, ktile, mm):
     """Second streamed pass: grads(x) = -sum_k r_k (Lambda_k x - b2_k)."""
+    if mm == "bf16x3":
+        (w2hi_ref, w2lo_ref, b2_ref, logw_ref, comp_ref, model_ref,
+         xhi_ref, xlo_ref, grads_ref, acc_ref) = refs
+        t = xhi_ref.shape[1]
+    else:
+        (w2_ref, b2_ref, logw_ref, comp_ref, model_ref, x_ref,
+         grads_ref, acc_ref) = refs
+        t = x_ref.shape[1]
     j = pl.program_id(1)
     last = pl.num_programs(1) - 1
-    t = x_ref.shape[1]
 
-    ptd = jax.lax.dot_general(
-        w2_ref[...], x_ref[...], (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    ) - b2_ref[...]                                      # [ktile*d, T]
+    if mm == "bf16x3":
+        ptd = _pd._dot3(w2hi_ref[...], w2lo_ref[...],
+                        xhi_ref[...], xlo_ref[...]) - b2_ref[...]
+    else:
+        ptd = jax.lax.dot_general(
+            w2_ref[...], x_ref[...], (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        ) - b2_ref[...]                                  # [ktile*d, T]
     logw = logw_ref[0, :ktile]                           # [ktile, 1]
     lr = comp_ref[0, :ktile] + logw - model_ref[0:1, :]  # [ktile, T]
     resp = jnp.where(logw > 0.5 * _BIG_NEG, jnp.exp(lr), 0.0)
@@ -171,23 +204,34 @@ def _grad_kernel(w2_ref, b2_ref, logw_ref, comp_ref, model_ref, x_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("d", "ktile", "t", "interpret"))
-def _densities_call(w1, b1, logdets, logws, x, d, ktile, t, interpret=False):
+                   static_argnames=("d", "ktile", "t", "mm", "interpret"))
+def _densities_call(w1, b1, logdets, logws, x, d, ktile, t, mm="f32",
+                    interpret=False):
     kd, d_pad = w1.shape
     n_pad = x.shape[1]
     n_tiles = n_pad // t
     k_tiles = kd // (ktile * d)
-    kernel = functools.partial(_density_kernel, d=d, ktile=ktile, t=t)
+    kernel = functools.partial(_density_kernel, d=d, ktile=ktile, t=t, mm=mm)
+    w_spec = pl.BlockSpec((ktile * d, d_pad), lambda j, i: (j, 0))
+    x_spec = pl.BlockSpec((d_pad, t), lambda j, i: (0, i))
+    if mm == "bf16x3":
+        w1hi, w1lo = _pd._split_bf16(w1)
+        xhi, xlo = _pd._split_bf16(x)
+        ins = (w1hi, w1lo, b1, logdets, logws, xhi, xlo)
+        in_specs = [w_spec, w_spec]
+        x_specs = [x_spec, x_spec]
+    else:
+        ins = (w1, b1, logdets, logws, x)
+        in_specs = [w_spec]
+        x_specs = [x_spec]
     comp, model = pl.pallas_call(
         kernel,
         grid=(k_tiles, n_tiles),  # K outer: W blocks stay resident
-        in_specs=[
-            pl.BlockSpec((ktile * d, d_pad), lambda j, i: (j, 0)),
+        in_specs=in_specs + [
             pl.BlockSpec((ktile * d, 1), lambda j, i: (j, 0)),
             pl.BlockSpec((1, 8, 1), lambda j, i: (j, 0, 0)),
             pl.BlockSpec((1, 8, 1), lambda j, i: (j, 0, 0)),
-            pl.BlockSpec((d_pad, t), lambda j, i: (0, i)),
-        ],
+        ] + x_specs,
         out_specs=[
             pl.BlockSpec((1, 8, t), lambda j, i: (j, 0, i)),
             pl.BlockSpec((8, t), lambda j, i: (0, i)),
@@ -201,29 +245,40 @@ def _densities_call(w1, b1, logdets, logws, x, d, ktile, t, interpret=False):
             pltpu.VMEM((8, n_pad), jnp.float32),
         ],
         interpret=interpret,
-    )(w1, b1, logdets, logws, x)
+    )(*ins)
     return comp, model
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("d", "ktile", "t", "interpret"))
-def _grads_call(w2, b2, logws, comp, model, x, d, ktile, t, interpret=False):
+                   static_argnames=("d", "ktile", "t", "mm", "interpret"))
+def _grads_call(w2, b2, logws, comp, model, x, d, ktile, t, mm="f32",
+                interpret=False):
     kd, d_pad = w2.shape
     n_pad = x.shape[1]
     n_tiles = n_pad // t
     k_tiles = kd // (ktile * d)
-    kernel = functools.partial(_grad_kernel, d=d, ktile=ktile)
+    kernel = functools.partial(_grad_kernel, d=d, ktile=ktile, mm=mm)
+    w_spec = pl.BlockSpec((ktile * d, d_pad), lambda i, j: (j, 0))
+    x_spec = pl.BlockSpec((d_pad, t), lambda i, j: (0, i))
+    if mm == "bf16x3":
+        w2hi, w2lo = _pd._split_bf16(w2)
+        xhi, xlo = _pd._split_bf16(x)
+        ins = (w2hi, w2lo, b2, logws, comp, model, xhi, xlo)
+        in_specs = [w_spec, w_spec]
+        x_specs = [x_spec, x_spec]
+    else:
+        ins = (w2, b2, logws, comp, model, x)
+        in_specs = [w_spec]
+        x_specs = [x_spec]
     (grads,) = pl.pallas_call(
         kernel,
         grid=(n_tiles, k_tiles),
-        in_specs=[
-            pl.BlockSpec((ktile * d, d_pad), lambda i, j: (j, 0)),
+        in_specs=in_specs + [
             pl.BlockSpec((ktile * d, 1), lambda i, j: (j, 0)),
             pl.BlockSpec((1, 8, 1), lambda i, j: (j, 0, 0)),
             pl.BlockSpec((1, 8, t), lambda i, j: (j, 0, i)),
             pl.BlockSpec((8, t), lambda i, j: (0, i)),
-            pl.BlockSpec((d_pad, t), lambda i, j: (0, i)),
-        ],
+        ] + x_specs,
         out_specs=[
             pl.BlockSpec((d_pad, t), lambda i, j: (0, i)),
         ],
@@ -234,7 +289,7 @@ def _grads_call(w2, b2, logws, comp, model, x, d, ktile, t, interpret=False):
             pltpu.VMEM((d_pad, t), jnp.float32),
         ],
         interpret=interpret,
-    )(w2, b2, logws, comp, model, x)
+    )(*ins)
     return grads
 
 
@@ -279,7 +334,8 @@ def fused_component_densities_large(means, inv_chols, log_weights, log_dets,
     (w1, b1, _, _, logdet3, logw3, x, ktile, t, _, _) = _prepare(
         means, inv_chols, log_weights, log_dets, samples, need_w2=False)
     comp3, model = _densities_call(w1, b1, logdet3, logw3, x, d=d,
-                                   ktile=ktile, t=t, interpret=interpret)
+                                   ktile=ktile, t=t, mm=_pd.MATMUL_MODE,
+                                   interpret=interpret)
     return _unpad_comp(comp3, ktile, k, n), model[0, :n]
 
 
@@ -302,8 +358,9 @@ def fused_density_pack_large(means, inv_chols, log_weights, log_dets,
     (w1, b1, w2, b2, logdet3, logw3, x, ktile, t, _, _) = _prepare(
         means, inv_chols, log_weights, log_dets, samples, need_w2=True)
     comp3, model = _densities_call(w1, b1, logdet3, logw3, x, d=d,
-                                   ktile=ktile, t=t, interpret=interpret)
+                                   ktile=ktile, t=t, mm=_pd.MATMUL_MODE,
+                                   interpret=interpret)
     grads = _grads_call(w2, b2, logw3, comp3, model, x, d=d, ktile=ktile,
-                        t=t, interpret=interpret)
+                        t=t, mm=_pd.MATMUL_MODE, interpret=interpret)
     return (_unpad_comp(comp3, ktile, k, n), model[0, :n],
             grads[:d, :n].T)

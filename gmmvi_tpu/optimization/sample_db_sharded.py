@@ -181,43 +181,82 @@ def _db_mesh(db):
     return mesh
 
 
+def _ring_write_one(ring_s, ring_l, ring_g, ring_it, ring_c, wp,
+                    res_s, res_l, res_c,
+                    smp, lnp, grd, cmp_, val, rand_slots, accept_u,
+                    iteration):
+    """One shard's ring + reservoir write (no device axis, scalar ``wp``):
+    the same dense circular ops as the global ring (sample_db.py) — row
+    scatters lower to sequential per-row loops on TPU, so the valid rows are
+    compacted with log-shift passes, spliced with rotate + one dynamic
+    update, and the reservoir's random-replacement scatter is a last-wins
+    one-hot matmul (bit-identical to scatter-in-order semantics)."""
+    b_l = val.shape[0]
+    s_l = ring_s.shape[0]
+    c_l = res_s.shape[0]
+    validf = val.astype(jnp.int32)
+    n_valid = jnp.sum(validf)
+
+    iters_b = jnp.full((b_l,), iteration, jnp.int32)
+    cmp_b, lnp_b, grd_b, it_b, smp_b = db_ops._compact_valid_rows(
+        (cmp_, lnp, grd, iters_b, smp), val)
+    row_idx = jnp.arange(b_l)
+
+    def splice(ring, head):
+        rot = db_ops._ring_range(ring, wp, s_l)
+        keep = jax.lax.dynamic_slice_in_dim(rot, 0, b_l, 0)
+        sel = (row_idx < n_valid).reshape((b_l,) + (1,) * (head.ndim - 1))
+        rot = jax.lax.dynamic_update_slice_in_dim(
+            rot, jnp.where(sel, head.astype(ring.dtype), keep), 0, 0)
+        return db_ops._ring_range(rot, -wp, s_l)
+
+    ring_s = splice(ring_s, smp_b)
+    ring_l = splice(ring_l, lnp_b)
+    ring_g = splice(ring_g, grd_b)
+    ring_it = splice(ring_it, it_b)
+    ring_c = splice(ring_c, cmp_b)
+
+    item_no = res_c + jnp.cumsum(validf)
+    fill_slots = jnp.clip(item_no - 1, 0, c_l - 1)
+    slots = jnp.where(item_no <= c_l, fill_slots, rand_slots)
+    accept_p = jnp.minimum(
+        1.0, c_l / jnp.maximum(item_no.astype(jnp.float32), 1.0))
+    accept = jnp.logical_and(val, accept_u < accept_p)
+    slot_of = jnp.where(accept, slots, -1)
+    hits = slot_of[None, :] == jnp.arange(c_l)[:, None]       # [C_l, B_l]
+    found = jnp.any(hits, axis=1)
+    last = jnp.argmax(
+        jnp.where(hits, jnp.arange(b_l)[None, :], -1), axis=1)
+    onehot = (jnp.arange(b_l)[None, :] == last[:, None]) & found[:, None]
+    onehot_f = onehot.astype(jnp.float32)
+    new_rows = jnp.einsum("cb,bd->cd", onehot_f, smp,
+                          precision=jax.lax.Precision.HIGHEST)
+    new_lnp = jnp.einsum("cb,b->c", onehot_f, lnp,
+                         precision=jax.lax.Precision.HIGHEST)
+    res_s = jnp.where(found[:, None], new_rows.astype(res_s.dtype), res_s)
+    res_l = jnp.where(found, new_lnp.astype(res_l.dtype), res_l)
+
+    return (ring_s, ring_l, ring_g, ring_it, ring_c, wp + n_valid,
+            res_s, res_l, res_c + n_valid)
+
+
 def _ring_write_body(ring_s, ring_l, ring_g, ring_it, ring_c, wp,
                      res_s, res_l, res_c,
                      smp, lnp, grd, cmp_, val, rand_slots, accept_u,
                      iteration):
     """Per-device ring + reservoir write; every array carries a leading
     device axis (full ``P`` when called directly, 1 per shard under
-    shard_map — the same code serves both)."""
-    p, b_l = val.shape
-    s_l = ring_s.shape[1]
-    c_l = res_s.shape[1]
-    dev = jnp.arange(p)[:, None]
-
-    validf = val.astype(jnp.int32)
-    n_valid_p = jnp.sum(validf, axis=1)
-    offsets = jnp.cumsum(validf, axis=1) - 1
-    pos = wp[:, None] + offsets
-    ring_idx = jnp.where(val, pos % s_l, s_l)  # s_l = dropped
-    iter_fill = jnp.full((p, b_l), iteration, jnp.int32)
-
-    ring_s = ring_s.at[dev, ring_idx].set(smp, mode="drop")
-    ring_l = ring_l.at[dev, ring_idx].set(lnp, mode="drop")
-    ring_g = ring_g.at[dev, ring_idx].set(grd, mode="drop")
-    ring_it = ring_it.at[dev, ring_idx].set(iter_fill, mode="drop")
-    ring_c = ring_c.at[dev, ring_idx].set(cmp_, mode="drop")
-
-    item_no = res_c[:, None] + jnp.cumsum(validf, axis=1)
-    fill_slots = jnp.clip(item_no - 1, 0, c_l - 1)
-    slots = jnp.where(item_no <= c_l, fill_slots, rand_slots)
-    accept_p = jnp.minimum(
-        1.0, c_l / jnp.maximum(item_no.astype(jnp.float32), 1.0))
-    accept = jnp.logical_and(val, accept_u < accept_p)
-    res_idx = jnp.where(accept, slots, c_l)
-    res_s = res_s.at[dev, res_idx].set(smp, mode="drop")
-    res_l = res_l.at[dev, res_idx].set(lnp, mode="drop")
-
-    return (ring_s, ring_l, ring_g, ring_it, ring_c, wp + n_valid_p,
-            res_s, res_l, res_c + n_valid_p)
+    shard_map — the same code serves both).  The per-shard dim-1 case
+    squeezes so the dense circular ops see static starts; the direct path
+    vmaps (test/fallback only — production runs under shard_map)."""
+    args = (ring_s, ring_l, ring_g, ring_it, ring_c, wp,
+            res_s, res_l, res_c, smp, lnp, grd, cmp_, val,
+            rand_slots, accept_u)
+    if val.shape[0] == 1:
+        out = _ring_write_one(*[a[0] for a in args], iteration)
+        return tuple(o[None] for o in out)
+    return jax.vmap(_ring_write_one, in_axes=(0,) * 16 + (None,))(
+        *args, iteration)
 
 
 def add_samples(
@@ -312,7 +351,22 @@ def _gather_window_sharded(db: ShardedSampleDbState, window: int,
     kmax, r = db.max_components, db.ring_iters
     w_l = _ceil_div(window, p)
 
-    def gather_body(ring_s, ring_l, ring_g, ring_it, ring_c, wp):
+    def gather_one(ring_s, ring_l, ring_g, ring_it, ring_c, wp):
+        # dense circular window read (one doubled-ring dynamic slice per
+        # array — a mod-indexed row gather is a sequential per-row loop on
+        # TPU, see sample_db._ring_range)
+        pos = wp - w_l + jnp.arange(w_l)
+        in_rng = jnp.logical_and(pos >= 0, pos >= wp - s_l)
+        start = wp - w_l
+        return (db_ops._ring_range(ring_s, start, w_l),
+                db_ops._ring_range(ring_l, start, w_l),
+                db_ops._ring_range(ring_g, start, w_l),
+                db_ops._ring_range(ring_it, start, w_l),
+                db_ops._ring_range(ring_c, start, w_l),
+                in_rng)
+
+    def gather_idx(ring_s, ring_l, ring_g, ring_it, ring_c, wp):
+        # indexed fallback for w_l > s_l (window wider than the shard ring)
         pl = wp.shape[0]
         pos = wp[:, None] - w_l + jnp.arange(w_l)[None, :]   # [pl, w_l]
         in_rng = jnp.logical_and(pos >= 0, pos >= (wp - s_l)[:, None])
@@ -320,6 +374,15 @@ def _gather_window_sharded(db: ShardedSampleDbState, window: int,
         dev = jnp.arange(pl)[:, None]
         return (ring_s[dev, idx], ring_l[dev, idx], ring_g[dev, idx],
                 ring_it[dev, idx], ring_c[dev, idx], in_rng)
+
+    def gather_body(ring_s, ring_l, ring_g, ring_it, ring_c, wp):
+        if w_l > s_l:
+            return gather_idx(ring_s, ring_l, ring_g, ring_it, ring_c, wp)
+        args = (ring_s, ring_l, ring_g, ring_it, ring_c, wp)
+        if wp.shape[0] == 1:  # per-shard under shard_map: static squeeze
+            out = gather_one(*[a[0] for a in args])
+            return tuple(o[None] for o in out)
+        return jax.vmap(gather_one)(*args)
 
     body = gather_body
     mesh = _db_mesh(db)
