@@ -206,7 +206,8 @@ def validate_config(config: Mapping, require_target: bool = False,
             ("db_layout", ("auto", "global", "sharded")),
             ("db_eviction", ("ring", "decimate")),
             ("compact_target_eval", ("auto", "on", "off")),
-            ("trust_region_search", ("bracket", "bracket-eigen", "grid")),
+            ("trust_region_search",
+             ("bracket", "bracket-eigen", "grid", "newton")),
         ):
             val = tpu_cfg.get(key)
             if val is not None and str(val) not in allowed:

@@ -271,3 +271,68 @@ def test_chol_pair_from_prec_identity():
     assert np.isnan(np.asarray(cb)[0]).any()
     assert np.isnan(np.asarray(ib)[0]).any()
     assert not np.isnan(np.asarray(cb)[1:]).any()
+
+
+def test_trust_region_newton_respects_kl_bound():
+    """Newton search mode: the accepted eta satisfies the same trust-region
+    contract as the bisection (|KL - eps| < 0.1 eps, or the conservative
+    width-stop fallback), at both small and fast-tril-path dimensions."""
+    for d in (3, 80):
+        model, meta = _setup(d=d, seed=6, stepsize=0.05)
+        rng = np.random.RandomState(7)
+        hneg = np.stack([_spd(rng, d, 0.3 / d)
+                         for _ in range(model.max_components)])
+        gneg = (rng.randn(model.max_components, d) * 0.5).astype(np.float32)
+        res = trust_region_update(model, meta, jnp.asarray(hneg),
+                                  jnp.asarray(gneg), meta.stepsizes,
+                                  search="newton")
+        eps = float(meta.stepsizes[0])
+        def kl_slogdet(m0, c0, m1, c1):
+            # gauss_kl via slogdet (plain det overflows past d ~ 50)
+            dd = len(m0)
+            c1inv = np.linalg.inv(c1)
+            diff = m1 - m0
+            return 0.5 * (
+                np.trace(c1inv @ c0) + diff @ c1inv @ diff - dd
+                + np.linalg.slogdet(c1)[1] - np.linalg.slogdet(c0)[1])
+
+        moved = False
+        for i in range(2):
+            if float(res.meta.last_etas[i]) < 0:
+                continue  # rejected update keeps old params
+            kl = kl_slogdet(
+                np.asarray(res.model.means[i], np.float64),
+                np.asarray(res.model.covs[i], np.float64),
+                np.asarray(model.means[i], np.float64),
+                np.asarray(model.covs[i], np.float64),
+            )
+            assert kl < 1.6 * eps, f"d={d} comp {i}: KL {kl} > bound {eps}"
+            if kl > 1e-6:
+                moved = True
+        assert moved
+
+
+def test_trust_region_newton_warm_start():
+    """A second newton update from the recorded etas still succeeds and
+    stays within the bound (the warm path initializes at last_eta)."""
+    model, meta = _setup(seed=11, stepsize=0.05)
+    rng = np.random.RandomState(13)
+    d = 3
+    hneg = np.stack([_spd(rng, d, 0.3) for _ in range(model.max_components)])
+    gneg = (rng.randn(model.max_components, d)).astype(np.float32)
+    res1 = trust_region_update(model, meta, jnp.asarray(hneg),
+                               jnp.asarray(gneg), meta.stepsizes,
+                               search="newton")
+    assert np.all(np.asarray(res1.meta.last_etas[:2]) > 0)
+    res2 = trust_region_update(res1.model, res1.meta, jnp.asarray(hneg),
+                               jnp.asarray(gneg), res1.meta.stepsizes,
+                               search="newton")
+    eps = float(res1.meta.stepsizes[0])
+    for i in range(2):
+        if float(res2.meta.last_etas[i]) < 0:
+            continue
+        kl = gauss_kl(
+            np.asarray(res2.model.means[i]), np.asarray(res2.model.covs[i]),
+            np.asarray(res1.model.means[i]), np.asarray(res1.model.covs[i]),
+        )
+        assert kl < 1.6 * eps
