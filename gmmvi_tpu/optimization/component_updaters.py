@@ -856,7 +856,16 @@ def _tr_update_one(old_mean, old_chol, old_inv_chol, last_eta, eps, hneg, gneg,
         )
         eta = jnp.maximum(eta0, temperature)
     elif search == "newton" and not diagonal:
-        warm_t = jnp.where(no_warm, jnp.nan,
+        # cold start: KL(eta) ~ C / eta^2 asymptotically (second-order
+        # expansion of logdet/trace/mean terms in M/eta), so eta0 =
+        # sqrt(C/eps) starts the safeguarded iteration near the root
+        # instead of at the bracket midpoint
+        c_asym = (0.25 * jnp.sum(jnp.square(m_w))
+                  + 0.5 * jnp.sum(jnp.square(
+                      jnp.einsum("ij,j->i", m_w, c_w, precision=_PREC)
+                      - b1_w)))
+        t_guess = 0.5 * (jnp.log(c_asym + 1e-30) - jnp.log(eps))
+        warm_t = jnp.where(no_warm, t_guess,
                            jnp.log(jnp.abs(last_eta) + 1e-30))
         exp_lower, exp_upper = _newton_search(
             partial(_tr_kl_whitened_trip_grad, m_w=m_w, c=c_w, b1=b1_w),
