@@ -235,3 +235,20 @@ def test_decimate_db_mode_end_to_end():
     assert int(gmmvi.state.db.count) <= 256
     assert int(gmmvi.state.db.num_samples_written) > 256  # overflowed
     assert _elbo(gmmvi, target) > elbo0 + 1.0
+
+
+def test_samtron_newton_search_converges():
+    """The opt-in Newton trust-region search reaches the same optimum as the
+    bisection on the simple target (PARITY_MAP: same trust-region contract,
+    different visited etas)."""
+    target = make_simple_target()
+    cfg = _base_config("SAMTRON", target)
+    cfg = update_config(cfg, {"tpu": {"trust_region_search": "newton"}})
+    t, model, meta = init_experiment(cfg)
+    gmmvi = GMMVI.build_from_config(cfg, target, model, meta)
+    elbo0 = _elbo(gmmvi, target)
+    for _ in range(40):
+        gmmvi.train_iter()
+    elbo = _elbo(gmmvi, target)
+    assert elbo > elbo0 + 1.0
+    assert elbo > -0.2
