@@ -194,21 +194,15 @@ def add_samples(
     # Dense ring write: compact the valid rows to the batch front (log-shift
     # passes — a row scatter/gather lowers to a sequential per-row loop on
     # TPU, ~2 us/row), then splice the head into the circular range
-    # [write_pos, write_pos + n_valid) with rotate + one dynamic update.
+    # [write_pos, write_pos + n_valid) (_ring_splice: one partially-doubled
+    # copy + masked fold, ~4x ring bytes).
     iters_b = jnp.full((b,), iteration, jnp.int32)
     comp_b, lnp_b, grad_b, it_b, smp_b = _compact_valid_rows(
         (mapping.astype(jnp.int32), target_lnpdfs, target_grads, iters_b,
          samples), valid)
-    row_idx = jnp.arange(b)
 
     def splice(ring, head):
-        rot = _ring_range(ring, db.write_pos, s)
-        keep = jax.lax.dynamic_slice_in_dim(rot, 0, b, 0)
-        sel = (row_idx < n_valid)
-        sel = sel.reshape((b,) + (1,) * (head.ndim - 1))
-        rot = jax.lax.dynamic_update_slice_in_dim(
-            rot, jnp.where(sel, head.astype(ring.dtype), keep), 0, 0)
-        return _ring_range(rot, -db.write_pos, s)
+        return _ring_splice(ring, head, db.write_pos, n_valid)
 
     new_db = db.replace(
         samples=splice(db.samples, smp_b),
@@ -396,12 +390,46 @@ def _ring_range(x: jnp.ndarray, start: jnp.ndarray, length: int):
     A mod-indexed row gather lowers to a sequential per-row loop on TPU
     (measured ~2 us/row: ~25 ms for a [12000, 300] window at the stm300
     shape); the circular range is two contiguous slices, taken here as one
-    dynamic slice of the doubled array (3x ring bytes of straight-line
-    copies — ~60 us at the same shape)."""
+    dynamic slice of a partially-doubled array.  The wrapped part is always
+    shorter than ``length``, so extending by ``x[:length]`` (not a full
+    second copy) suffices — ring + length bytes of straight-line copies
+    instead of 3x ring."""
     s = x.shape[0]
+    if length > s:
+        raise ValueError(f"_ring_range length {length} > capacity {s}")
     start = jnp.asarray(start) % s
-    doubled = jnp.concatenate([x, x], axis=0)
+    doubled = jnp.concatenate([x, x[:length]], axis=0)
     return jax.lax.dynamic_slice_in_dim(doubled, start, length, 0)
+
+
+def _ring_splice(ring, head, start, n_valid):
+    """Write ``head``'s first ``n_valid`` rows into the circular range
+    ``[start, start + n_valid)`` of ``ring``.
+
+    One partially-doubled copy + one masked fold — ~4x ring bytes, vs the
+    rotate / update / rotate-back form's ~10x (two full doubled-ring
+    rotations).  Requires ``head.shape[0] <= ring.shape[0]``."""
+    s = ring.shape[0]
+    b = head.shape[0]
+    if b > s:
+        raise ValueError(f"batch {b} > ring capacity {s}")
+    start = jnp.asarray(start) % s
+    doubled = jnp.concatenate([ring, ring[:b]], axis=0)      # [S + B, ...]
+    cur = jax.lax.dynamic_slice_in_dim(doubled, start, b, 0)
+    sel = (jnp.arange(b) < n_valid).reshape((b,) + (1,) * (head.ndim - 1))
+    merged = jnp.where(sel, head.astype(ring.dtype), cur)
+    doubled = jax.lax.dynamic_update_slice_in_dim(doubled, merged, start, 0)
+    # fold the two copies back: row i was updated in the first copy when
+    # start <= i < start + n_valid, in the extension when i + s < start +
+    # n_valid (the wrapped part); elsewhere the first copy equals the ring
+    end = start + n_valid
+    first = jax.lax.slice_in_dim(doubled, 0, s, axis=0)
+    ext = jax.lax.slice_in_dim(doubled, s, s + b, axis=0)
+    wrapped_b = (jnp.arange(b) + s < end).reshape(
+        (b,) + (1,) * (head.ndim - 1))
+    head_region = jnp.where(wrapped_b,
+                            ext, jax.lax.slice_in_dim(first, 0, b, axis=0))
+    return jax.lax.dynamic_update_slice_in_dim(first, head_region, 0, 0)
 
 
 def _gather_window(db: SampleDbState, window: int, n_requested: jnp.ndarray):

@@ -200,15 +200,9 @@ def _ring_write_one(ring_s, ring_l, ring_g, ring_it, ring_c, wp,
     iters_b = jnp.full((b_l,), iteration, jnp.int32)
     cmp_b, lnp_b, grd_b, it_b, smp_b = db_ops._compact_valid_rows(
         (cmp_, lnp, grd, iters_b, smp), val)
-    row_idx = jnp.arange(b_l)
 
     def splice(ring, head):
-        rot = db_ops._ring_range(ring, wp, s_l)
-        keep = jax.lax.dynamic_slice_in_dim(rot, 0, b_l, 0)
-        sel = (row_idx < n_valid).reshape((b_l,) + (1,) * (head.ndim - 1))
-        rot = jax.lax.dynamic_update_slice_in_dim(
-            rot, jnp.where(sel, head.astype(ring.dtype), keep), 0, 0)
-        return db_ops._ring_range(rot, -wp, s_l)
+        return db_ops._ring_splice(ring, head, wp, n_valid)
 
     ring_s = splice(ring_s, smp_b)
     ring_l = splice(ring_l, lnp_b)
