@@ -67,6 +67,72 @@ def _stein_standard_iw(model, log_iw, mask, log_ratio_grads, ptd):
     return jax.lax.map(one, (log_iw, mask, ptd, n))
 
 
+def _fused_stein_mode(model: GmmState, n: int) -> str:
+    """'pallas' | 'interpret' | 'off' for the streamed Stein second-moment
+    kernel (GMMVI_FUSED_STEIN overrides; same gating policy as the density /
+    MORE kernels: shard_map-wrapped with psum'd partial moments under SPMD
+    meshes).  Only engages above D=64 — see pallas_stein.supports — so
+    small-D step graphs are unchanged."""
+    import os
+
+    from gmmvi_tpu.models import gmm as gmm_module
+    from gmmvi_tpu.ops import pallas_stein
+
+    mode = os.environ.get("GMMVI_FUSED_STEIN", "auto")
+    if mode == "0":
+        return "off"
+    if model.diagonal or not pallas_stein.supports(model.num_dimensions, n):
+        return "off"
+    if gmm_module.SPMD_ACTIVE and gmm_module.spmd_data_mesh(n) is None \
+            and mode not in ("1", "interpret"):
+        # meshed trace, batch not evenly shardable: no shard_map wrap
+        return "off"
+    if mode == "interpret":
+        return "interpret"
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        on_tpu = False
+    if mode == "1" or on_tpu:
+        return "pallas"
+    return "off"
+
+
+def _stein_smom(model: GmmState, w, log_ratio_grads, centered_samples):
+    """``sum_n w[k,n] g[n,:] xc[n,:]^T`` — streamed Pallas kernel on TPU
+    (no [K, N, D] HBM intermediate), XLA einsum otherwise."""
+    mode = _fused_stein_mode(model, centered_samples.shape[0])
+    if mode != "off":
+        from gmmvi_tpu.models import gmm as gmm_module
+        from gmmvi_tpu.ops.pallas_stein import fused_stein_smom
+
+        interpret = mode == "interpret"
+        mesh = gmm_module.spmd_data_mesh(centered_samples.shape[0])
+        if mesh is not None:
+            # each device accumulates its sample shard's moments in one
+            # kernel pass; the [K, D, D] partials psum across the mesh —
+            # the same collective the einsum path's sharded contraction
+            # produces
+            from jax import shard_map
+
+            P = jax.sharding.PartitionSpec
+
+            def _local(w_l, g_l, x_l):
+                return jax.lax.psum(
+                    fused_stein_smom(w_l, g_l, x_l, interpret=interpret),
+                    "data")
+
+            return shard_map(
+                _local, mesh=mesh,
+                in_specs=(P(None, "data"), P("data"), P("data")),
+                out_specs=P(), check_vma=False,
+            )(w, log_ratio_grads, centered_samples)
+        return fused_stein_smom(w, log_ratio_grads, centered_samples,
+                                interpret=interpret)
+    return jnp.einsum("kn,nd,ne->kde", w, log_ratio_grads, centered_samples,
+                      precision=_PREC)
+
+
 def _per_component_log_iw(
     comp_log_densities: jnp.ndarray,  # [Kmax, N]
     background: jnp.ndarray,          # [N]
@@ -176,8 +242,8 @@ def stein_estimate(
             / jnp.maximum(jnp.sum(model.mask), 1)
         lam_mu = jnp.einsum("kde,ke->kd", lam, model.means - shift[None, :],
                             precision=_PREC)
-        s_mom = jnp.einsum("kn,nd,ne->kde", w, log_ratio_grads,
-                           samples - shift[None, :], precision=_PREC)
+        s_mom = _stein_smom(model, w, log_ratio_grads,
+                            samples - shift[None, :])
         hess = jnp.einsum("kdf,kfe->kde", s_mom, lam, precision=_PREC) \
             - grad[:, :, None] * lam_mu[:, None, :]
         # symmetrization only in the SN path (ng_estimator.py:186)

@@ -545,3 +545,70 @@ def test_large_d_dispatch_through_density_pack():
     np.testing.assert_allclose(
         np.asarray(fused.model_grads), np.asarray(plain.model_grads),
         rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("k,d,n", [(5, 70, 700), (9, 130, 600)])
+def test_fused_stein_smom_matches_einsum(k, d, n):
+    """Streamed Stein second-moment kernel vs the XLA einsum, incl. K/D/N
+    padding remainders (d=70 -> d_pad=72; n pads to the 512 tile)."""
+    from gmmvi_tpu.ops.pallas_stein import fused_stein_smom, supports
+
+    assert supports(d, n)
+    rng = np.random.RandomState(3)
+    w = rng.rand(k, n).astype(np.float32)
+    w /= w.sum(axis=1, keepdims=True)
+    g = rng.randn(n, d).astype(np.float32)
+    xc = rng.randn(n, d).astype(np.float32)
+    want = np.einsum("kn,nd,ne->kde", w, g, xc)
+
+    exact = fused_stein_smom(jnp.asarray(w), jnp.asarray(g), jnp.asarray(xc),
+                             interpret=True, mm="f32")
+    np.testing.assert_allclose(np.asarray(exact), want, rtol=1e-5, atol=1e-5)
+
+    split = fused_stein_smom(jnp.asarray(w), jnp.asarray(g), jnp.asarray(xc),
+                             interpret=True, mm="bf16x3")
+    np.testing.assert_allclose(np.asarray(split), want, rtol=2e-3, atol=2e-3)
+
+
+def test_stein_estimate_fused_smom_matches_einsum_path():
+    """stein_estimate with GMMVI_FUSED_STEIN=interpret (kernel) vs =0
+    (einsum) on a moment-form pack: same estimate."""
+    import os
+
+    from gmmvi_tpu.models import gmm as G
+    from gmmvi_tpu.optimization.ng_estimators import stein_estimate
+
+    rng = np.random.RandomState(7)
+    k, n, d = 6, 900, 96
+    means = rng.randn(k, d).astype(np.float32) * 2 + 5.0
+    a = rng.randn(k, d, d).astype(np.float32) * 0.05
+    covs = np.einsum("kij,klj->kil", a, a) + np.eye(d, dtype=np.float32)
+    state = G.create_gmm_state(np.full(k, 1.0 / k, np.float32), means, covs,
+                               max_components=k)
+    x = jnp.asarray((rng.randn(n, d) + 5.0).astype(np.float32))
+    bg = jnp.asarray(rng.randn(n).astype(np.float32) - 4.0)
+    lnp = jnp.asarray(rng.randn(n).astype(np.float32))
+    grads = jnp.asarray(rng.randn(n, d).astype(np.float32))
+    mask = jnp.ones(n, bool)
+    mapping = jnp.asarray(rng.randint(0, k, n), jnp.int32)
+
+    pack = G.density_pack(state, x).replace(prec_times_diff=None)
+    old = os.environ.get("GMMVI_FUSED_STEIN")
+    try:
+        os.environ["GMMVI_FUSED_STEIN"] = "0"
+        plain = stein_estimate(state, x, mask, mapping, bg, lnp, grads,
+                               pack=pack)
+        os.environ["GMMVI_FUSED_STEIN"] = "interpret"
+        fused = stein_estimate(state, x, mask, mapping, bg, lnp, grads,
+                               pack=pack)
+    finally:
+        if old is None:
+            os.environ.pop("GMMVI_FUSED_STEIN", None)
+        else:
+            os.environ["GMMVI_FUSED_STEIN"] = old
+    np.testing.assert_allclose(np.asarray(fused.expected_gradients_neg),
+                               np.asarray(plain.expected_gradients_neg),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(fused.expected_hessians_neg),
+                               np.asarray(plain.expected_hessians_neg),
+                               rtol=2e-3, atol=2e-3)

@@ -314,3 +314,31 @@ def test_mesh_requires_data_axis():
     mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(8), ("batch",))
     with pytest.raises(ValueError, match="must include 'data'"):
         _build(mesh=mesh)
+
+
+@requires_multidevice
+def test_fused_stein_smom_shard_map_wrap_matches_einsum(monkeypatch):
+    """The streamed Stein second-moment kernel under a scoped SPMD mesh:
+    per-shard kernel passes + psum'd [K, D, D] partials equal the plain
+    einsum (D>64 engages the kernel; see pallas_stein.supports)."""
+    from gmmvi_tpu.optimization.ng_estimators import _stein_smom
+
+    monkeypatch.setenv("GMMVI_FUSED_STEIN", "interpret")
+    rng = np.random.RandomState(13)
+    k, d, n = 5, 96, 640
+    w_mix = np.ones(k, np.float32) / k
+    mu = rng.randn(k, d).astype(np.float32)
+    covs = np.broadcast_to(np.eye(d, dtype=np.float32), (k, d, d)).copy()
+    state = G.create_gmm_state(w_mix, mu, covs, max_components=k)
+
+    w = rng.rand(k, n).astype(np.float32)
+    w /= w.sum(axis=1, keepdims=True)
+    g = jnp.asarray(rng.randn(n, d).astype(np.float32))
+    xc = jnp.asarray(rng.randn(n, d).astype(np.float32))
+    want = np.einsum("kn,nd,ne->kde", w, np.asarray(g), np.asarray(xc))
+
+    mesh = _mesh()
+    with G.spmd_scope(mesh):
+        got = jax.jit(lambda a, b, c: _stein_smom(state, a, b, c))(
+            jnp.asarray(w), g, xc)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3, atol=2e-3)
